@@ -1,0 +1,42 @@
+"""Engine configuration.
+
+The reference exposes its parameters as raw CLI globals
+(/root/reference/pagerank_mpi/pagerank_mpi.c:380-395: <file> <N> <threshold> <d>);
+here they are an explicit dataclass. Defaults follow the north rule
+(tol=1e-6 L1, d=0.85) rather than the reference CLI default of 1e-4
+(benchmark/benchmark.py:17,170).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PageRankConfig:
+    """Parameters of the power-iteration loop.
+
+    damping / tol mirror `d` / `threshold` in pagerank_mpi.c:27-30; the stop
+    rule is L1 < tol checked after each update (pagerank_mpi.c:220-226).
+    """
+
+    damping: float = 0.85
+    tol: float = 1e-6
+    max_iter: int = 200
+    # resumable-superstep machinery (north rule; no reference counterpart —
+    # the MPI code keeps all state in process memory)
+    checkpoint_interval: int = 10
+    checkpoint_dir: str | None = None
+    # physical tuning
+    num_partitions: int | None = None  # None → spark.sql.shuffle.partitions
+    salt_buckets: int = 0  # >0 → salt high-degree sources in the SpMV agg
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Session-level physical knobs (SURVEY.md §4.3)."""
+
+    shuffle_partitions: int = 32
+    max_partition_bytes: str = "128m"
+    adaptive: bool = True
+    arrow: bool = True

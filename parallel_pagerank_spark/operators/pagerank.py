@@ -1,0 +1,199 @@
+"""Power-iteration PageRank as DataFrame-level sparse gather-scatter.
+
+Reference semantics: /root/reference/pagerank_mpi/pagerank_mpi.c:132-231
+(Distributed_PageRank_csr) — init 1/N, per iteration dangling-mass
+redistribution, p' = d*(contrib + S/N) + (1-d)/N, stop when L1 < tol checked
+after the update. The MPI code materializes the FULL rank vector on every rank
+per iteration (MPI_Allgatherv, pagerank_mpi.c:141-164) and re-scans ALL edges
+on every rank (178-192); the Spark plan instead partitions both data and
+compute: the SpMV is an equi-join (edges ⋈ ranks on src) followed by a
+hash aggregation on dst with map-side partial aggregation — the same
+partial/final split the MPI code does by hand with p_t1_local.
+
+Physical layout (SURVEY.md §4.3):
+- ``edges`` are weighted once with 1/out_degree, hash-repartitioned by src,
+  and persisted: iteration-invariant, shuffled exactly once.
+- ``ranks`` carries an iteration-invariant ``dangling`` flag so the dangling
+  sum (pagerank_mpi.c:166-174) never needs a join.
+- ONE Spark action per superstep: a fused aggregate computing L1, max-error
+  (pagerank_mpi.c:201-213) AND the next iteration's dangling sum.
+- lineage truncated every superstep via localCheckpoint; durable
+  parquet checkpoints + a JSON manifest every ``checkpoint_interval``
+  supersteps make the loop resumable (north rule).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..config import PageRankConfig
+from ..plans.checkpoint import SuperstepCheckpointer
+from .graph import out_degrees, vertices_from_edges
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id: long, rank: double)
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _prepare_weighted_edges(
+    edges: DataFrame, num_partitions: int, salt_buckets: int
+) -> DataFrame:
+    """edges ⋈ out_deg once (iteration-invariant — pagerank_mpi.c:179 computes
+    row_ptr[j+1]-row_ptr[j] per edge per iteration; we fold it into a
+    precomputed weight column w = 1/out_deg)."""
+    deg = out_degrees(edges)
+    w = edges.join(
+        deg.withColumnRenamed("id", "src"), on="src", how="inner"
+    ).select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    return w.repartition(num_partitions, "src")
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    config: PageRankConfig | None = None,
+    resume: bool = False,
+) -> PageRankResult:
+    """Run PageRank over ``edges(src, dst)``.
+
+    vertices: optional explicit ``(id)`` DataFrame. Default reproduces the
+    reference's dense-id rule (csr_graph.c:27): ids 0..max_id all exist.
+    resume: continue from the latest durable checkpoint under
+    ``config.checkpoint_dir`` if one exists.
+    """
+    cfg = config or PageRankConfig()
+    spark = edges.sparkSession
+    num_parts = cfg.num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    d = cfg.damping
+
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    n = vertices.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        return PageRankResult(empty, 0, True, [])
+
+    edges_w = _prepare_weighted_edges(edges, num_parts, cfg.salt_buckets)
+    edges_w = edges_w.persist(StorageLevel.MEMORY_AND_DISK)
+    edges_w.count()  # materialize once
+
+    ckpt = SuperstepCheckpointer(cfg.checkpoint_dir, "pagerank")
+
+    start_iter = 0
+    metrics: list[dict] = []
+    ranks = None
+    if resume:
+        state = ckpt.load_latest(spark)
+        if state is not None:
+            ranks, start_iter, metrics, was_converged = state
+            if was_converged:
+                edges_w.unpersist()
+                return PageRankResult(
+                    ranks.select("id", "rank"), start_iter, True, metrics
+                )
+            ranks = ranks.repartition(num_parts, "id")
+
+    if ranks is None:
+        # init p = 1/N (pagerank_mpi.c:44-54); dangling flag = no out-edges
+        # (pagerank_mpi.c:169) — iteration-invariant, carried on the rank row.
+        deg = out_degrees(edges)
+        ranks = (
+            vertices.join(deg, on="id", how="left")
+            .select(
+                "id",
+                F.lit(1.0 / n).alias("rank"),
+                F.col("out_deg").isNull().alias("dangling"),
+            )
+            .repartition(num_parts, "id")
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+
+    # initial dangling sum: every dangling vertex holds exactly 1/N
+    srow = ranks.agg(
+        F.sum(F.when(F.col("dangling"), F.col("rank"))).alias("s")
+    ).first()
+    dangling_sum = srow["s"] or 0.0
+
+    converged = False
+    it = start_iter
+    while it < cfg.max_iter:
+        t0 = time.monotonic()
+        # SpMV gather (pagerank_mpi.c:176-192): join pulls rank[src] to each
+        # edge; hash-agg on dst scatter-sums the contributions with map-side
+        # partial aggregation.
+        contribs = (
+            edges_w.join(ranks, edges_w.src == ranks.id, "inner")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        # update (pagerank_mpi.c:194-196)
+        new_ranks = (
+            ranks.select(
+                "id", "dangling", F.col("rank").alias("old_rank")
+            )
+            .join(contribs, ranks.id == contribs.dst, "left")
+            .select(
+                "id",
+                "dangling",
+                "old_rank",
+                (
+                    d
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(dangling_sum / n)
+                    )
+                    + F.lit((1.0 - d) / n)
+                ).alias("rank"),
+            )
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        # ONE action: fused convergence metrics (pagerank_mpi.c:201-213,
+        # D3+D4) + next iteration's dangling sum.
+        row = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
+            F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("max_err"),
+            F.sum(F.when(F.col("dangling"), F.col("rank"))).alias("s"),
+        ).first()
+        l1, max_err = float(row["l1"]), float(row["max_err"])
+        dangling_sum = float(row["s"] or 0.0)
+        it += 1
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        metrics.append(
+            {"iteration": it, "l1": l1, "max_err": max_err, "wall_ms": wall_ms}
+        )
+        old = ranks
+        ranks = new_ranks.select("id", "rank", "dangling")
+        old.unpersist()
+        # stop when L1 < threshold, checked after the update
+        # (pagerank_mpi.c:220-226; L1 is the operative criterion)
+        if l1 < cfg.tol:
+            converged = True
+        if ckpt.enabled and (
+            converged or it % cfg.checkpoint_interval == 0
+        ):
+            ckpt.save(ranks, it, metrics, converged=converged)
+        if converged:
+            break
+
+    edges_w.unpersist()
+    return PageRankResult(
+        ranks.select("id", "rank"), it, converged, metrics
+    )
+
+
+def top_k_ranks(result_ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k vertices by rank (dashboard/app.py:400-404). Spark plans
+    TakeOrderedAndProject — a true distributed top-k, no full sort."""
+    return result_ranks.orderBy(F.desc("rank"), F.asc("id")).limit(k)

@@ -1,0 +1,127 @@
+"""Descriptive graph statistics (SURVEY.md §2 D5–D12, G1, G2).
+
+The reference computes these in the Streamlit dashboard with networkx
+(dashboard/app.py:455-501, 1732-1748); here they are engine methods so the
+capability survives without the UI. All pure built-in aggregations — one
+scan for the scalar stats, degree aggs for the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .graph import in_degrees, out_degrees, vertices_from_edges
+
+
+def graph_summary(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """One-row summary: nodes, edges, density E/(N·(N−1))
+    (dashboard/app.py:461), mean degree.
+
+    Without an explicit ``vertices`` DF, N follows the reference's dense-id
+    rule max_id+1 (csr_graph.c:27) — only meaningful for dense id spaces;
+    hash-id graphs (xxhash64 vertex ids near 2^63) MUST pass ``vertices``,
+    and density math is done in double space to avoid long overflow (ANSI
+    mode throws on it)."""
+    if vertices is not None:
+        n = vertices.count()
+        agg = edges.agg(F.count("*").alias("num_edges")).select(
+            F.lit(n).alias("num_nodes"), "num_edges"
+        )
+    else:
+        agg = edges.agg(
+            (F.greatest(F.max("src"), F.max("dst")) + 1).alias("num_nodes"),
+            F.count("*").alias("num_edges"),
+        )
+    nd = F.col("num_nodes").cast("double")
+    return agg.select(
+        "num_nodes",
+        "num_edges",
+        (F.col("num_edges") / (nd * (nd - F.lit(1.0)))).alias("density"),
+        (F.col("num_edges") / nd).alias("mean_out_degree"),
+    )
+
+
+def degree_table(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """``(id, out_deg, in_deg)`` densified over the vertex set (absent ⇒ 0)."""
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    return (
+        vertices.join(out_degrees(edges), "id", "left")
+        .join(in_degrees(edges), "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+def dangling_vertices(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """Vertices with no out-edges (pagerank_mpi.c:169 predicate)."""
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    return vertices.join(
+        out_degrees(edges), "id", "left_anti"
+    )
+
+
+def isolated_count(edges: DataFrame, vertices: DataFrame | None = None) -> int:
+    """Degree-0 in both directions (dashboard/app.py:469-471)."""
+    if vertices is None:
+        vertices = vertices_from_edges(edges)
+    return (
+        vertices.join(out_degrees(edges), "id", "left_anti")
+        .join(in_degrees(edges), "id", "left_anti")
+        .count()
+    )
+
+
+def degree_histogram(edges: DataFrame, direction: str = "out") -> DataFrame:
+    """``(degree, num_vertices)`` distribution over vertices WITH that degree
+    (rank-histogram analog of dashboard/app.py:425-433)."""
+    deg = out_degrees(edges) if direction == "out" else in_degrees(edges)
+    col = "out_deg" if direction == "out" else "in_deg"
+    return (
+        deg.groupBy(F.col(col).alias("degree"))
+        .agg(F.count("*").alias("num_vertices"))
+    )
+
+
+def scale_free_heuristic(edges: DataFrame) -> DataFrame:
+    """The dashboard's hub heuristic (dashboard/app.py:481-489): max degree,
+    count of vertices with degree > max/2, vs 3× the average."""
+    deg = out_degrees(edges)
+    stats = deg.agg(
+        F.max("out_deg").alias("max_deg"),
+        F.avg("out_deg").alias("avg_deg"),
+    )
+    return (
+        deg.crossJoin(F.broadcast(stats))
+        .agg(
+            F.first("max_deg").alias("max_degree"),
+            F.first("avg_deg").alias("avg_degree"),
+            F.sum(
+                (F.col("out_deg") > F.col("max_deg") / 2).cast("long")
+            ).alias("near_max_hubs"),
+        )
+        .select(
+            "max_degree",
+            "avg_degree",
+            "near_max_hubs",
+            (F.col("max_degree") > F.col("avg_degree") * 3).alias(
+                "looks_scale_free"
+            ),
+        )
+    )
+
+
+def adjacency_lists(edges: DataFrame) -> DataFrame:
+    """``(src, neighbors: array<long> sorted)`` — the DataFrame-level CSR row
+    (dashboard/app.py:1744-1748 sorted adjacency display)."""
+    return (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("neighbors"))
+        .orderBy("src")
+    )

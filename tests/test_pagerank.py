@@ -1,0 +1,131 @@
+"""PageRank engine vs the NumPy oracle (reference semantics,
+pagerank_mpi.c:132-231): allclose 1e-6 rank parity AND iteration-count
+equality on the reference's bundled fixtures plus edge-case graphs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallel_pagerank_spark.config import PageRankConfig
+from parallel_pagerank_spark.operators.pagerank import pagerank, top_k_ranks
+
+from .conftest import edges_df
+from .oracles import SMALL_GRAPH, load_edge_list, pagerank_oracle
+
+
+def run_both(spark, edges, num_nodes=None, tol=1e-6, **cfg_kw):
+    oracle_ranks, oracle_iters, _ = pagerank_oracle(
+        edges, num_nodes=num_nodes, tol=tol
+    )
+    df = edges_df(spark, edges)
+    vertices = (
+        spark.range(num_nodes).withColumnRenamed("id", "id")
+        if num_nodes is not None
+        else None
+    )
+    res = pagerank(
+        df, vertices=vertices, config=PageRankConfig(tol=tol, **cfg_kw)
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    want = dict(enumerate(oracle_ranks))
+    assert set(got) == set(want)
+    got_vec = np.array([got[i] for i in sorted(got)])
+    want_vec = np.array([want[i] for i in sorted(want)])
+    return res, oracle_iters, got_vec, want_vec
+
+
+def test_small_graph_golden(spark):
+    res, oracle_iters, got, want = run_both(spark, SMALL_GRAPH)
+    assert res.converged
+    assert res.iterations == 26 == oracle_iters
+    assert np.allclose(
+        got, [0.37324778, 0.20675512, 0.38249710, 0.0375], atol=1e-6
+    )
+    assert np.allclose(got, want, atol=1e-6)
+    # node 3 has no in-links → rank = (1-d)/N exactly; no dangling → Σ = 1
+    assert got[3] == pytest.approx(0.0375, abs=1e-12)
+    assert got.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+@pytest.mark.parametrize("name", ["medium_graph", "large_graph"])
+def test_reference_fixtures(spark, name):
+    edges = load_edge_list(f"/root/reference/sample_graphs/{name}.txt")
+    res, oracle_iters, got, want = run_both(spark, edges)
+    assert res.converged
+    assert res.iterations == oracle_iters
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_dangling_and_isolated(spark):
+    # sink vertex 2 (no out-edges) exercises dangling-mass redistribution
+    # (pagerank_mpi.c:166-174); vertex 4 is referenced only as max id gap:
+    # edge to 5 makes ids 0..5 exist, 4 has no edges at all
+    # (num_nodes = max_id+1 rule, csr_graph.c:27).
+    edges = [(0, 1), (1, 2), (3, 0), (3, 5), (5, 3)]
+    res, oracle_iters, got, want = run_both(spark, edges)
+    assert res.converged
+    assert res.iterations == oracle_iters
+    assert np.allclose(got, want, atol=1e-6)
+    assert len(got) == 6
+    # mass conserved (dangling redistribution keeps Σ = 1)
+    assert got.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_multi_edge_and_self_loop(spark):
+    # duplicate lines count with multiplicity (csr_graph.c:19-23);
+    # self-loop feeds rank back to its own vertex
+    edges = [(0, 1), (0, 1), (1, 0), (2, 2), (2, 0)]
+    res, oracle_iters, got, want = run_both(spark, edges)
+    assert res.iterations == oracle_iters
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_ring_uniform(spark):
+    # ring: i → (i+1)%n (dashboard/app.py:1484-1487) — exact uniform fixpoint
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    res, oracle_iters, got, want = run_both(spark, edges)
+    assert np.allclose(got, np.full(n, 1.0 / n), atol=1e-6)
+    assert res.iterations == oracle_iters
+
+
+def test_star_hub_skew(spark):
+    # star: hub 0 ↔ all spokes (dashboard/app.py:1488-1493) — worst-case
+    # single-key skew for the dst aggregation
+    n = 50
+    edges = [(0, i) for i in range(1, n)] + [(i, 0) for i in range(1, n)]
+    res, oracle_iters, got, want = run_both(spark, edges)
+    assert res.iterations == oracle_iters
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_explicit_vertices_superset(spark):
+    # explicit vertex table larger than edge-touched ids (transcript graphs
+    # pass an explicit vertices DF instead of the dense max_id+1 rule)
+    edges = [(0, 1), (1, 0)]
+    res, oracle_iters, got, want = run_both(spark, edges, num_nodes=5)
+    assert res.iterations == oracle_iters
+    assert np.allclose(got, want, atol=1e-6)
+    assert len(got) == 5
+
+
+def test_tolerance_1e4_reference_default(spark):
+    # the reference CLI default threshold (benchmark.py:17,170)
+    res, oracle_iters, got, want = run_both(spark, SMALL_GRAPH, tol=1e-4)
+    assert res.iterations == 16 == oracle_iters
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_top_k(spark):
+    df = edges_df(spark, SMALL_GRAPH)
+    res = pagerank(df, config=PageRankConfig())
+    top = top_k_ranks(res.ranks, k=2).collect()
+    assert [r["id"] for r in top] == [2, 0]
+
+
+def test_empty_graph(spark):
+    df = edges_df(spark, [])
+    res = pagerank(df, config=PageRankConfig())
+    assert res.ranks.count() == 0
+    assert res.converged
