@@ -140,57 +140,70 @@ def large_star_small_star(
     if vertices is None:
         vertices = vertices_from_edges(edges)
 
-    pairs = symmetrize(edges).select("src", "dst")
-    pairs = pairs.repartition(num_parts, "src").localCheckpoint(eager=True)
+    # state: pairs (hi, lo) with hi > lo meaning "same component"; the
+    # initial orientation of every undirected edge is (max, min)
+    pairs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .distinct()
+        .repartition(num_parts, "hi")
+        .localCheckpoint(eager=True)
+    )
 
     metrics: list[dict] = []
     steps = 0
     converged = False
     while steps < max_iter:
-        # large-star: group by src over symmetric pairs
-        grouped = pairs.groupBy("src").agg(
-            F.collect_set("dst").alias("nbrs")
+        # large-star: for every node u over its FULL neighborhood, attach
+        # each strictly-larger neighbor v to m = min(neighborhood ∪ {u})
+        sym = pairs.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(
+            pairs.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        ls = grouped.select(
-            "src",
-            F.least(F.col("src"), F.array_min("nbrs")).alias("m"),
-            F.explode(
-                F.filter("nbrs", lambda v: v > F.col("src"))
-            ).alias("v"),
-        ).select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        kept = pairs.filter(F.col("dst") <= F.col("src")).select(
-            "src", "dst"
+        grouped = sym.groupBy("u").agg(
+            F.min("v").alias("minv"), F.collect_set("v").alias("nbrs")
         )
-        after_large = (
-            ls.unionByName(kept)
-            .filter(F.col("src") != F.col("dst"))
+        ls = (
+            grouped.select(
+                "u",
+                F.least(F.col("u"), F.col("minv")).alias("m"),
+                F.explode(
+                    F.filter("nbrs", lambda v: v > F.col("u"))
+                ).alias("v"),
+            )
+            # v > u >= m ⇒ orientation (hi=v, lo=m); drop self-pairs
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .distinct()
         )
-        sym2 = after_large.unionByName(
-            after_large.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        ).distinct()
-        # small-star: connect all smaller-or-equal neighbors to the min
-        grouped2 = (
-            sym2.filter(F.col("dst") < F.col("src"))
-            .groupBy("src")
-            .agg(F.collect_set("dst").alias("nbrs"))
+        # small-star: for every node u over its strictly-smaller neighbors N
+        # (edges are (hi, lo)-oriented, so N = lo-set grouped by hi), attach
+        # u and all of N to m = min(N)
+        grouped2 = ls.groupBy("hi").agg(
+            F.min("lo").alias("m"), F.collect_set("lo").alias("nbrs")
         )
         ss = grouped2.select(
-            "src",
-            F.array_min("nbrs").alias("m"),
+            "hi",
+            "m",
             F.explode(
-                F.array_append("nbrs", F.col("src"))
+                F.array_append(
+                    F.filter("nbrs", lambda v: v != F.col("m")),
+                    F.col("hi"),
+                )
             ).alias("v"),
-        ).select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        ).select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         new_pairs = (
-            ss.filter(F.col("src") != F.col("dst"))
+            ss.filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .repartition(num_parts, "src")
+            .repartition(num_parts, "hi")
+            .localCheckpoint(eager=True)
         )
-        new_pairs = new_pairs.localCheckpoint(eager=True)
-        # converged when the pair set is stable (all point at component min)
+        # converged when the pair set is stable: a star forest rooted at
+        # each component's minimum id
         diff = (
             new_pairs.exceptAll(pairs).limit(1).count()
             + pairs.exceptAll(new_pairs).limit(1).count()
@@ -206,7 +219,7 @@ def large_star_small_star(
     comp = (
         vertices.join(
             pairs.select(
-                F.col("src").alias("id"), F.col("dst").alias("component")
+                F.col("hi").alias("id"), F.col("lo").alias("component")
             ),
             "id",
             "left",

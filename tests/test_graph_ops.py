@@ -1,0 +1,149 @@
+"""CC / LPA / triangle / stats operators vs the pure-Python oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_pagerank_spark.operators.components import (
+    connected_components,
+    large_star_small_star,
+)
+from parallel_pagerank_spark.operators.labelprop import label_propagation
+from parallel_pagerank_spark.operators.stats import (
+    dangling_vertices,
+    degree_table,
+    graph_summary,
+    isolated_count,
+)
+from parallel_pagerank_spark.operators.triangles import (
+    per_vertex_triangle_counts,
+    triangle_count,
+)
+
+from .conftest import edges_df
+from .oracles import (
+    SMALL_GRAPH,
+    connected_components_oracle,
+    label_propagation_oracle,
+    load_edge_list,
+    min_label_propagation_oracle,
+    per_vertex_triangles_oracle,
+    triangle_count_oracle,
+)
+
+TWO_COMPONENTS = [(0, 1), (1, 2), (3, 4), (5, 3), (6, 6)]  # id 7 isolated? no: max=6
+RING = [(i, (i + 1) % 10) for i in range(10)]
+STAR = [(0, i) for i in range(1, 20)] + [(i, 0) for i in range(1, 20)]
+
+
+@pytest.mark.parametrize(
+    "edges,n",
+    [
+        (SMALL_GRAPH, 4),
+        (TWO_COMPONENTS, 7),
+        (RING, 10),
+        (STAR, 20),
+    ],
+)
+def test_connected_components(spark, edges, n):
+    df = edges_df(spark, edges)
+    want = connected_components_oracle(edges, n)
+    res = connected_components(df)
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == want
+    assert res.converged
+    # superstep count parity with the synchronous min-label oracle
+    _, oracle_steps = min_label_propagation_oracle(edges, n)
+    assert res.supersteps == oracle_steps
+
+
+@pytest.mark.parametrize(
+    "edges,n", [(SMALL_GRAPH, 4), (TWO_COMPONENTS, 7), (RING, 10), (STAR, 20)]
+)
+def test_large_star_small_star_matches(spark, edges, n):
+    df = edges_df(spark, edges)
+    want = connected_components_oracle(edges, n)
+    res = large_star_small_star(df)
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == want
+    assert res.converged
+
+
+def test_cc_long_path_lsss_faster(spark):
+    # path graph: min-label propagation needs O(n) supersteps,
+    # large-star/small-star O(log^2 n)
+    path = [(i, i + 1) for i in range(30)]
+    df = edges_df(spark, path)
+    res = large_star_small_star(df)
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == {i: 0 for i in range(31)}
+    assert res.supersteps < 12
+
+
+@pytest.mark.parametrize(
+    "edges,n", [(SMALL_GRAPH, 4), (TWO_COMPONENTS, 7), (STAR, 20)]
+)
+def test_label_propagation(spark, edges, n):
+    df = edges_df(spark, edges)
+    want = label_propagation_oracle(edges, n, max_iter=10)
+    res = label_propagation(df, max_iter=10)
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("method", ["ordered", "degree_oriented"])
+@pytest.mark.parametrize(
+    "edges,n",
+    [
+        (SMALL_GRAPH, 4),
+        (RING, 10),
+        (STAR, 20),
+        ([(0, 1), (1, 2), (2, 0), (0, 0), (1, 0), (2, 1)], 3),  # dense + loops
+    ],
+)
+def test_triangle_count(spark, method, edges, n):
+    df = edges_df(spark, edges)
+    assert triangle_count(df, method) == triangle_count_oracle(edges, n)
+
+
+@pytest.mark.parametrize("method", ["ordered", "degree_oriented"])
+def test_triangle_reference_fixtures(spark, method):
+    for name in ["small_graph", "medium_graph", "large_graph"]:
+        edges = load_edge_list(f"/root/reference/sample_graphs/{name}.txt")
+        df = edges_df(spark, edges)
+        n = max(max(s, t) for s, t in edges) + 1
+        assert triangle_count(df, method) == triangle_count_oracle(edges, n)
+
+
+def test_per_vertex_triangles(spark):
+    edges = load_edge_list("/root/reference/sample_graphs/medium_graph.txt")
+    n = max(max(s, t) for s, t in edges) + 1
+    df = edges_df(spark, edges)
+    want = per_vertex_triangles_oracle(edges, n)
+    got = {
+        r["id"]: r["triangles"]
+        for r in per_vertex_triangle_counts(df).collect()
+    }
+    # engine omits zero-triangle vertices
+    assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_graph_summary_and_degrees(spark):
+    df = edges_df(spark, SMALL_GRAPH)
+    row = graph_summary(df).first()
+    assert row["num_nodes"] == 4 and row["num_edges"] == 7
+    assert row["density"] == pytest.approx(7 / 12)
+    deg = {
+        r["id"]: (r["out_deg"], r["in_deg"])
+        for r in degree_table(df).collect()
+    }
+    assert deg == {0: (2, 2), 1: (1, 2), 2: (1, 3), 3: (3, 0)}
+    assert isolated_count(df) == 0
+
+
+def test_dangling_and_isolated_stats(spark):
+    edges = [(0, 1), (1, 2), (4, 5)]  # 2,5 dangling; 3 isolated (id gap)
+    df = edges_df(spark, edges)
+    dang = sorted(r["id"] for r in dangling_vertices(df).collect())
+    assert dang == [2, 3, 5]
+    assert isolated_count(df) == 1
