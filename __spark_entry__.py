@@ -1,38 +1,456 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Graph queries run over the events table (transcript-shaped, TESTDATA.md §5):
+vertex = event_id; reply links = consecutive events per user (ts, event_id
+order); handoff links = consecutive events sharing event_type. The
+iterative operators (PageRank / CC / LPA) are not single-SQL-expressible —
+they are registered rows-only here and verified against NumPy oracles in
+tests/ instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------- SQL building blocks
+
+_EDGES_CTE = """
+reply AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events) WHERE dst IS NOT NULL),
+handoff AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events) WHERE dst IS NOT NULL),
+edges AS (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+"""
+
+_NORM_TEXT_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+# ASCII punctuation, written as an explicit class so Java regex (Spark) and
+# RE2 (DuckDB) agree exactly
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+_STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+)
+
+_LANG_MARKERS = {
+    "de": ("der", "und", "nicht", "das", "ist"),
+    "en": ("the", "and", "with", "this", "have"),
+    "es": ("los", "las", "por", "una", "con"),
+    "fr": ("les", "des", "est", "une", "dans"),
+}
+
+
+def _occ_sql(expr: str, needle: str) -> str:
+    return (
+        f"(length({expr}) - length(replace({expr}, '{needle}', '')))"
+        f" / {len(needle)}"
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the sf0.001 event link graph, top-20."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import (
+        pagerank,
+        top_k_ranks,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    events = _events(spark, "/root/testdata/sf0.001")
+    edges = event_graph_edges(events)
+    res = pagerank(edges, config=PageRankConfig(tol=1e-6, max_iter=100))
+    return top_k_ranks(res.ranks, 20)
+
+
+def _q_edges_reply(spark, sf_dir):
+    from parallel_pagerank_spark.sources.events import reply_edges
+
+    return reply_edges(_events(spark, sf_dir))
+
+
+def _q_edges_handoff(spark, sf_dir):
+    from parallel_pagerank_spark.sources.events import handoff_edges
+
+    return handoff_edges(_events(spark, sf_dir))
+
+
+def _q_out_degree(spark, sf_dir):
+    from parallel_pagerank_spark.operators.graph import out_degrees
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return out_degrees(event_graph_edges(_events(spark, sf_dir)))
+
+
+def _q_in_degree(spark, sf_dir):
+    from parallel_pagerank_spark.operators.graph import in_degrees
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return in_degrees(event_graph_edges(_events(spark, sf_dir)))
+
+
+def _q_degree_stats(spark, sf_dir):
+    from parallel_pagerank_spark.operators.stats import graph_summary
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return graph_summary(event_graph_edges(_events(spark, sf_dir)))
+
+
+def _q_top_out_degree(spark, sf_dir):
+    from parallel_pagerank_spark.operators.graph import out_degrees
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return (
+        out_degrees(event_graph_edges(_events(spark, sf_dir)))
+        .orderBy(F.desc("out_deg"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _q_dangling_count(spark, sf_dir):
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    e = event_graph_edges(_events(spark, sf_dir))
+    return e.agg(
+        (
+            F.greatest(F.max("src"), F.max("dst"))
+            + 1
+            - F.count_distinct(F.col("src"))
+        ).alias("dangling_count")
+    )
+
+
+def _q_adjacency(spark, sf_dir):
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    e = event_graph_edges(_events(spark, sf_dir))
+    return e.groupBy("src").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("dst"))).alias(
+            "neighbors"
+        )
+    )
+
+
+def _q_degree_histogram(spark, sf_dir):
+    from parallel_pagerank_spark.operators.stats import degree_histogram
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return degree_histogram(event_graph_edges(_events(spark, sf_dir)), "out")
+
+
+def _q_triangle_count(spark, sf_dir):
+    from parallel_pagerank_spark.operators.triangles import triangle_edges
+    from parallel_pagerank_spark.sources.events import cooccurrence_edges
+
+    tri = triangle_edges(
+        cooccurrence_edges(_events(spark, sf_dir), window=2), "ordered"
+    )
+    return tri.agg(F.count("*").alias("triangles"))
+
+
+def _q_doc_exact_dedup(spark, sf_dir):
+    from parallel_pagerank_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir)).select(
+        "keep_id", "dup_count"
+    )
+
+
+def _q_doc_token_stats(spark, sf_dir):
+    from parallel_pagerank_spark.functions.text import (
+        bpeish_token_count,
+        whitespace_token_count,
+    )
+
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+        bpeish_token_count(F.col("text")).alias("n_bpeish"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    c = F.coalesce(F.col("text"), F.lit(""))
+    n = F.greatest(F.length(c), F.lit(1))
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            (F.length(c) - F.length(F.regexp_replace(c, _PUNCT_CLASS, "")))
+            / n,
+            6,
+        ).alias("punct_ratio"),
+        F.round(
+            (F.length(c) - F.length(F.regexp_replace(c, "[A-Z]", ""))) / n, 6
+        ).alias("upper_ratio"),
+        F.round(
+            (F.length(c) - F.length(F.regexp_replace(c, "[0-9]", ""))) / n, 6
+        ).alias("digit_ratio"),
+    )
+
+
+def _q_doc_langid(spark, sf_dir):
+    from parallel_pagerank_spark.functions.text import language_id
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", language_id("text").alias("lang")
+    )
+
+
+def _q_knn_bruteforce(spark, sf_dir):
+    from parallel_pagerank_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(8)
+    return cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+
+
+# rows-only (iterative / hash-based — no single-SQL equivalent; verified
+# against NumPy oracles in tests/)
+
+
+def _q_pagerank_top20(spark, sf_dir):
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import (
+        pagerank,
+        top_k_ranks,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir))
+    res = pagerank(edges, config=PageRankConfig(tol=1e-6, max_iter=150))
+    return top_k_ranks(res.ranks, 20)
+
+
+def _q_connected_components(spark, sf_dir):
+    from parallel_pagerank_spark.operators.components import (
+        large_star_small_star,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    res = large_star_small_star(event_graph_edges(_events(spark, sf_dir)))
+    return (
+        res.components.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("component"))
+    )
+
+
+def _q_label_propagation(spark, sf_dir):
+    from parallel_pagerank_spark.operators.labelprop import label_propagation
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    res = label_propagation(
+        event_graph_edges(_events(spark, sf_dir)), max_iter=5
+    )
+    return (
+        res.labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("label"))
+    )
+
+
+def _q_minhash_near_dups(spark, sf_dir):
+    from parallel_pagerank_spark.functions.dedup import minhash_lsh_dedup
+
+    docs = _documents(spark, sf_dir)
+    dup = docs.limit(50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return minhash_lsh_dedup(
+        docs.select("doc_id", "text").unionByName(dup), threshold=0.8
+    )
+
+
+def _q_simhash(spark, sf_dir):
+    from parallel_pagerank_spark.functions.dedup import simhash
+
+    return simhash(_documents(spark, sf_dir))
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from parallel_pagerank_spark.functions.similarity import cosine_topk_lsh
+
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    queries = emb.orderBy("vec_id").limit(8)
+    return cosine_topk_lsh(emb, queries, dim=dim, k=5, nbits=6).select(
+        "query_id", "neighbor_id", "rnk"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "edges_reply": _q_edges_reply,
+        "edges_handoff": _q_edges_handoff,
+        "out_degree": _q_out_degree,
+        "in_degree": _q_in_degree,
+        "degree_stats": _q_degree_stats,
+        "top_out_degree": _q_top_out_degree,
+        "dangling_count": _q_dangling_count,
+        "adjacency": _q_adjacency,
+        "degree_histogram": _q_degree_histogram,
+        "triangle_count": _q_triangle_count,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "pagerank_top20": _q_pagerank_top20,
+        "connected_components": _q_connected_components,
+        "label_propagation": _q_label_propagation,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash": _q_simhash,
+        "knn_lsh": _q_knn_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _langid_sql() -> str:
+    pad = f"(' ' || {_NORM_TEXT_SQL} || ' ')"
+    scores = {
+        lang: " + ".join(_occ_sql(pad, f" {w} ") for w in words)
+        for lang, words in _LANG_MARKERS.items()
+    }
+    s = {lang: f"s_{lang}" for lang in scores}
+    case = (
+        f"CASE WHEN mx <= 0 THEN 'und' "
+        f"WHEN {s['de']} = mx THEN 'de' "
+        f"WHEN {s['en']} = mx THEN 'en' "
+        f"WHEN {s['es']} = mx THEN 'es' "
+        f"ELSE 'fr' END"
+    )
+    inner = ", ".join(f"({expr}) AS s_{lang}" for lang, expr in scores.items())
+    return f"""
+SELECT doc_id, {case} AS lang FROM (
+  SELECT doc_id, {inner},
+         greatest(s_de, s_en, s_es, s_fr) AS mx
+  FROM documents)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "edges_reply": f"WITH {_EDGES_CTE} SELECT src, dst FROM reply",
+        "edges_handoff": f"WITH {_EDGES_CTE} SELECT src, dst FROM handoff",
+        "out_degree": (
+            f"WITH {_EDGES_CTE} "
+            "SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src"
+        ),
+        "in_degree": (
+            f"WITH {_EDGES_CTE} "
+            "SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst"
+        ),
+        "degree_stats": (
+            f"WITH {_EDGES_CTE} "
+            "SELECT num_nodes, num_edges, "
+            "num_edges / (num_nodes::DOUBLE * (num_nodes::DOUBLE - 1)) AS density, "
+            "num_edges / num_nodes::DOUBLE AS mean_out_degree FROM ("
+            "SELECT greatest(max(src), max(dst)) + 1 AS num_nodes, "
+            "count(*) AS num_edges FROM edges)"
+        ),
+        "top_out_degree": (
+            f"WITH {_EDGES_CTE} "
+            "SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src "
+            "ORDER BY out_deg DESC, id ASC LIMIT 20"
+        ),
+        "dangling_count": (
+            f"WITH {_EDGES_CTE} "
+            "SELECT greatest(max(src), max(dst)) + 1 - "
+            "count(DISTINCT src) AS dangling_count FROM edges"
+        ),
+        "adjacency": (
+            f"WITH {_EDGES_CTE} "
+            "SELECT src, array_to_string(list_sort(list(dst)), ',') "
+            "AS neighbors FROM edges GROUP BY src"
+        ),
+        "degree_histogram": (
+            f"WITH {_EDGES_CTE}, "
+            "od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src) "
+            "SELECT out_deg AS degree, count(*) AS num_vertices "
+            "FROM od GROUP BY out_deg"
+        ),
+        "triangle_count": """
+WITH pos AS (
+  SELECT user_id, event_id AS id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+co AS (
+  SELECT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
+  FROM pos a JOIN pos b
+    ON a.user_id = b.user_id AND b.pos > a.pos AND b.pos - a.pos <= 2),
+canon AS (SELECT DISTINCT u, v FROM co WHERE u <> v)
+SELECT count(*) AS triangles
+FROM canon e1
+JOIN canon e2 ON e2.u = e1.v
+JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+        "doc_exact_dedup": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS dup_count "
+            f"FROM documents GROUP BY {_NORM_TEXT_SQL}"
+        ),
+        "doc_token_stats": f"""
+SELECT doc_id,
+       length(text) AS n_chars_m,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         AS n_bpeish
+FROM documents
+""",
+        "doc_quality": f"""
+SELECT doc_id,
+  round((length(t) - length(regexp_replace(t, '{_PUNCT_CLASS}', '', 'g')))
+        / greatest(length(t), 1), 6) AS punct_ratio,
+  round((length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')))
+        / greatest(length(t), 1), 6) AS upper_ratio,
+  round((length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+        / greatest(length(t), 1), 6) AS digit_ratio
+FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+""",
+        "doc_langid": _langid_sql(),
+        "knn_bruteforce": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           AS cos
+  FROM embeddings c, q WHERE c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored)
+WHERE rnk <= 5
+""",
+    }

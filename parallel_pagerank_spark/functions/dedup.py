@@ -1,0 +1,315 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart; first-class engine components for the 100 TB
+curation path. Design rules: everything shuffles on a bounded key (hash,
+band bucket), candidate generation never goes quadratic in corpus size,
+and the hot path is built-in Column expressions or Arrow-vectorized pandas
+UDFs — no per-row Python.
+
+- exact_dedup: hash-groupBy on normalized text (one shuffle).
+- minhash_lsh_dedup: char-shingles → k minhashes (universal hashing
+  (a·x+b) mod p over xxhash64 shingle ids) → banding → bucket join →
+  exact Jaccard verification of candidates only (Broder '97 / LSH banding
+  as in Mining of Massive Datasets ch.3 — public algorithms).
+- simhash: 64-bit Charikar simhash via a vectorized pandas UDF (numpy
+  bit tricks); near-dup = small Hamming distance within block buckets.
+- ngram_jaccard_pairs: exact n-gram Jaccard for a candidate pair set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# Mersenne prime 2^31 - 1: universal-hash modulus; all arithmetic stays
+# < 2^62 so ANSI mode never overflows
+_MERSENNE = (1 << 31) - 1
+
+
+def _normalized(text_col) -> "F.Column":
+    return F.regexp_replace(
+        F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " "
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups over whitespace-normalized lowercased text:
+    ``(keep_id, dup_count)`` per distinct content, keep = min id.
+    One hash-shuffle on the 64-bit content fingerprint, never on the full
+    text (at 100 TB the shuffle key must be fixed-width)."""
+    fp = F.xxhash64(_normalized(F.col(text_col)))
+    return (
+        docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def char_shingles(text_col, n: int = 5) -> "F.Column":
+    """Distinct character n-gram shingles as an array<string>; generated
+    JVM-side (sequence + transform), no Python."""
+    t = _normalized(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(t) - F.lit(n - 1), F.lit(1)),
+            ),
+            lambda i: F.substring(t, i, n),
+        )
+    )
+
+
+def minhash_signature(
+    shingles_col, num_hashes: int = 64, seed: int = 42
+) -> "F.Column":
+    """k-minhash signature as array<long>: h_i(x) = (a_i·x + b_i) mod p with
+    x = xxhash64(shingle) folded into [0, 2^31), p = 2^31-1. Pure Column
+    expressions — the per-shingle work is an aggregate over the array."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    x = F.transform(
+        shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                x,
+                lambda v: F.pmod(
+                    v * F.lit(int(a[i])) + F.lit(int(b[i])),
+                    F.lit(_MERSENNE),
+                ),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a < id_b, est_jaccard)`` via LSH
+    banding: a pair collides if any band of rows hashes equal. est_jaccard
+    is the signature-agreement fraction (unbiased Jaccard estimate)."""
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes
+    sig = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(
+                char_shingles(F.col(text_col), shingle_n),
+                num_hashes,
+                seed,
+            ).alias("sig"),
+        )
+    )
+    band_entries = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                "sig", bi * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    left = band_entries.select(
+        "band",
+        "bucket",
+        F.col("id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    right = band_entries.select(
+        "band",
+        "bucket",
+        F.col("id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree / F.lit(float(len(range(num_hashes))))).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kw,
+) -> DataFrame:
+    """Near-dup pairs with exact shingle-Jaccard verification of LSH
+    candidates only: ``(id_a, id_b, jaccard)`` with jaccard >= threshold."""
+    cands = minhash_lsh_candidates(docs, id_col, text_col, **lsh_kw)
+    shingle_n = lsh_kw.get("shingle_n", 5)
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        char_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cands.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.select(
+            "id_a", "id_b", (inter / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit Charikar simhash, Arrow-vectorized end to end: ALL tokens of
+    the batch are hashed in one ``pd.util.hash_array`` call (deterministic
+    64-bit), bit votes are summed per document with ``np.add.reduceat`` —
+    no per-row or per-token Python loops."""
+    token_lists = texts.fillna("").astype(str).str.lower().str.split()
+    counts = token_lists.str.len().fillna(0).astype(np.int64).to_numpy()
+    flat = [t for lst in token_lists for t in (lst or [])]
+    out = np.zeros(len(texts), dtype=np.int64)
+    if flat:
+        hs = pd.util.hash_array(np.asarray(flat, dtype=object))  # uint64
+        # per-token ±1 votes for each of the 64 bits
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int8)
+        votes = 2 * bits.astype(np.int32) - 1
+        # segment-sum votes per document
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        nonempty = counts > 0
+        seg = np.add.reduceat(votes, offsets[nonempty], axis=0)
+        fp_bits = (seg > 0).astype(np.uint64)
+        fps = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = fps.view(np.int64)
+    return pd.Series(out)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(id, simhash: long)`` per document."""
+    return docs.select(
+        F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into ``blocks``
+    16-bit blocks; any pair within distance max_hamming < blocks agrees on
+    at least one block → join per block bucket, verify distance exactly
+    (Manku et al. WWW'07 pattern). Never all-pairs."""
+    assert max_hamming < blocks
+    sh = simhash(docs, id_col, text_col)
+    width = 64 // blocks
+    entries = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), bi * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                    )
+                    for bi in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.block", "bk.key")
+    left = entries.select(
+        "block", "key", F.col("id").alias("id_a"), F.col("simhash").alias("h_a")
+    )
+    right = entries.select(
+        "block", "key", F.col("id").alias("id_b"), F.col("simhash").alias("h_b")
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        left.join(right, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word n-gram Jaccard for a given candidate pair set
+    ``pairs(id_a, id_b)`` → ``(id_a, id_b, jaccard)``."""
+    t = _normalized(F.col(text_col))
+    toks = F.split(t, " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)),
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    g = docs.select(F.col(id_col).alias("id"), grams.alias("g"))
+    a = g.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    b = g.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))

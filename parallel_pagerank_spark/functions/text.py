@@ -1,0 +1,176 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No reference counterpart (the reference is numeric-only); these are the
+document-table operators a 100 TB curation pipeline needs. All hot-path
+expressions are built-in Column functions (JVM-side, whole-stage codegen);
+no per-row Python anywhere.
+
+Design note for oracle parity: token/quality/language expressions use only
+functions with identical semantics in DuckDB (length, lower, regexp_replace,
+replace, split) so the driver's DuckDB cross-check can run the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A BPE-ish word/number/punctuation segmentation: word pieces, numbers,
+# single punctuation marks — the usual pre-tokenizer shape (GPT-2 style
+# regex reduced to a portable core).
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+)
+
+# language-ID marker words: high-frequency function words that are
+# near-exclusive to each language (n-gram/stopword heuristic)
+LANG_MARKERS = {
+    "en": ("the", "and", "with", "this", "have"),
+    "de": ("der", "und", "nicht", "das", "ist"),
+    "fr": ("les", "des", "est", "une", "dans"),
+    "es": ("los", "las", "por", "una", "con"),
+}
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Number of whitespace-separated tokens (0 for empty/blank)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpeish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish segmentation regex."""
+    return F.regexp_count(col, F.lit(BPE_ISH_REGEX))
+
+
+def _count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — (len(x) - len(replace(x, n, '')))
+    / len(n); portable to any SQL engine."""
+    return (
+        F.length(col) - F.length(F.replace(col, F.lit(needle)))
+    ) / len(needle)
+
+
+def quality_features(text_col: str = "text") -> list[Column]:
+    """Length / punctuation / stopword / casing features used for quality
+    scoring. All ratios in [0,1], null-safe (empty text → 0)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    n_tokens = whitespace_token_count(c)
+    stopword_hits = sum(
+        (_count_occurrences(padded, f" {w} ") for w in STOPWORDS),
+        F.lit(0.0),
+    )
+    return [
+        F.length(c).alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")) / n
+        ).alias("punct_ratio"),
+        (
+            F.length(F.regexp_replace(c, r"[^A-Z]", "")) / n
+        ).alias("upper_ratio"),
+        (F.length(F.regexp_replace(c, r"[^0-9]", "")) / n).alias(
+            "digit_ratio"
+        ),
+        (
+            stopword_hits
+            / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).alias("stopword_ratio"),
+        (n / F.greatest(n_tokens, F.lit(1)).cast("double")).alias(
+            "mean_token_len"
+        ),
+    ]
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Scalar quality score in [0,1]: rewards stopword presence and moderate
+    token length, penalizes punctuation/digit noise. A deterministic
+    heuristic (Gopher-style rule flavor), not a learned model."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(F.length(c), F.lit(1)).cast("double")
+    n_tokens = whitespace_token_count(c).cast("double")
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    stop = sum(
+        (_count_occurrences(padded, f" {w} ") for w in STOPWORDS),
+        F.lit(0.0),
+    ) / F.greatest(n_tokens, F.lit(1.0))
+    punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")) / n
+    digit = F.length(F.regexp_replace(c, r"[^0-9]", "")) / n
+    mean_tok = n / F.greatest(n_tokens, F.lit(1.0))
+    len_ok = F.when(
+        (mean_tok >= 3) & (mean_tok <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.5))
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                len_ok
+                * (F.lit(0.5) + F.least(stop * 2, F.lit(0.5)))
+                * (F.lit(1.0) - F.least(punct * 2, F.lit(0.5)))
+                * (F.lit(1.0) - F.least(digit * 2, F.lit(0.5))),
+            ),
+        ),
+        6,
+    )
+
+
+def language_id(text_col: str = "text") -> Column:
+    """n-gram/stopword-marker language guess over LANG_MARKERS: count marker
+    hits per language on the lowercased, space-padded text; argmax with
+    deterministic tie-break (marker count desc, then language code asc);
+    'und' (undetermined) when nothing matches."""
+    padded = F.concat(
+        F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" ")
+    )
+    scores = [
+        (
+            lang,
+            sum(
+                (_count_occurrences(padded, f" {w} ") for w in words),
+                F.lit(0.0),
+            ),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = None
+    best_score = None
+    # fold right-to-left so earlier (asc) languages win ties
+    for lang, score in reversed(scores):
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            take = score >= best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def document_fingerprint(text_col: str = "text") -> Column:
+    """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text — the rolling-hash content id used for near-dup
+    bookkeeping. Deterministic across runs/partitionings."""
+    normalized = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+        r"\s+",
+        " ",
+    )
+    return F.xxhash64(normalized)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: id column(s) + token counts + quality features
+    + language + fingerprint. Single projection, whole-stage codegen."""
+    return docs.select(
+        "*",
+        bpeish_token_count(F.col(text_col)).alias("n_bpeish_tokens"),
+        *quality_features(text_col),
+        quality_score(text_col).alias("quality"),
+        language_id(text_col).alias("lang_guess"),
+        document_fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,288 @@
+"""Training-data-pipeline operators: text analysis, dedup, similarity,
+multimodal plumbing — vs brute-force Python oracles on the driver testdata
+and synthetic fixtures."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_pagerank_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dups,
+)
+from parallel_pagerank_spark.functions.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    ivf_assign,
+)
+from parallel_pagerank_spark.functions.text import (
+    analyze_documents,
+    language_id,
+    whitespace_token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one",), (None,)], "text string"
+    )
+    got = [
+        r["n"]
+        for r in df.select(
+            whitespace_token_count(F.col("text")).alias("n")
+        ).collect()
+    ]
+    assert got == [3, 0, 0, 1, None]
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog with this hat",),
+            ("der hund und die katze ist nicht da",),
+            ("les chats sont dans une maison est",),
+            ("los gatos y las casas por una con",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r["l"] for r in df.select(language_id("text").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_analyze_documents_runs(documents):
+    out = analyze_documents(documents)
+    rows = out.limit(20).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_chars"] == len(r["text"])
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] == len(r["text"].split())
+    # fingerprint deterministic across recomputation
+    a = {r["doc_id"]: r["fingerprint"] for r in out.limit(50).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in out.limit(50).collect()}
+    assert a == b
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # dup after normalization
+            (3, "different"),
+            (4, "HELLO WORLD "),  # dup
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups == {1: 3, 3: 1}
+
+
+def _jaccard(a: str, b: str, n: int = 5) -> float:
+    def sh(t):
+        t = " ".join(t.lower().split())
+        return {t[i : i + n] for i in range(max(1, len(t) - n + 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    texts = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy")),  # near-dup of 1
+        (3, base),  # exact dup of 1
+        (4, "completely unrelated content about spark dataframes and joins"),
+        (5, "another distinct document mentioning minhash signatures only"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_dedup(df, threshold=0.5).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] == pytest.approx(_jaccard(texts[0][1], texts[1][1]))
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_minhash_est_jaccard_close(spark, documents):
+    # near-dup estimate vs exact jaccard on duplicated real docs
+    docs = documents.limit(30)
+    dup = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    both = docs.select("doc_id", "text").unionByName(dup)
+    cands = minhash_lsh_candidates(both).collect()
+    found = {(r["id_a"], r["id_b"]) for r in cands}
+    ids = [r["doc_id"] for r in docs.collect()]
+    for i in ids:
+        assert (i, i + 100000) in found
+    for r in cands:
+        if r["id_b"] == r["id_a"] + 100000:
+            assert r["est_jaccard"] == 1.0
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different words appear in this sentence now"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert h[4] == 0
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(df, max_hamming=12, blocks=16).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, pairs, n=3).collect()
+    }
+    # trigrams of 1: {abc,bcd,cde}; of 2: {abc,bcd,cdx} → 2/4
+    assert got[(1, 2)] == pytest.approx(0.5)
+    assert got[(1, 3)] == 0.0
+
+
+def _topk_oracle(vecs: dict[int, np.ndarray], k: int) -> dict[int, list[int]]:
+    out = {}
+    for qid, qv in vecs.items():
+        scores = []
+        for nid, nv in vecs.items():
+            if nid == qid:
+                continue
+            cos = float(
+                qv @ nv / max(np.linalg.norm(qv) * np.linalg.norm(nv), 1e-12)
+            )
+            scores.append((-cos, nid))
+        out[qid] = [nid for _, nid in sorted(scores)[:k]]
+    return out
+
+
+def test_cosine_topk_bruteforce(spark, embeddings):
+    corpus = embeddings.limit(120).cache()
+    queries = corpus.limit(8)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    want = _topk_oracle(
+        {k: v for k, v in vecs.items()}, k=5
+    )
+    got_rows = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rnk"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in got:
+        assert got[qid] == want[qid][:5], qid
+
+
+def test_cosine_topk_lsh_recall(spark, embeddings):
+    corpus = embeddings.limit(200).cache()
+    queries = corpus.limit(10)
+    dim = len(corpus.first()["embedding"])
+    exact_rows = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_rows = cosine_topk_lsh(
+        corpus, queries, dim=dim, k=5, nbits=6, n_tables=8
+    ).collect()
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # recall gate: 8 tables x 64 buckets on 200 random vecs
+    hits = sum(
+        len(exact[q] & approx.get(q, set())) for q in exact
+    )
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.3, f"recall {hits}/{total}"
+
+
+def test_ivf_assign(spark, embeddings):
+    corpus = embeddings.limit(200)
+    dim = len(corpus.first()["embedding"])
+    assign, cents = ivf_assign(corpus, dim=dim, n_cells=8)
+    rows = assign.collect()
+    assert len(rows) == 200
+    assert {r["cell"] for r in rows} <= set(range(8))
+    # deterministic
+    assign2, cents2 = ivf_assign(corpus, dim=dim, n_cells=8)
+    assert np.allclose(cents, cents2)
+    assert {r["id"]: r["cell"] for r in assign2.collect()} == {
+        r["id"]: r["cell"] for r in rows
+    }
+
+
+def test_multimodal_plumbing(spark):
+    from parallel_pagerank_spark.functions.multimodal import (
+        image_features,
+        media_repartition,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n_rows=30)
+    media = media_repartition(media, target_bytes=16 << 10)
+    feats = image_features(media).collect()
+    assert len(feats) == len([r for r in media.collect() if r["kind"] == "image"])
+    for r in feats:
+        assert len(r["feature"]) == 64
+        assert 0 <= r["mean_luma"] <= 1
+    # deterministic across recomputation
+    again = {r["media_id"]: r["feature"] for r in image_features(media).collect()}
+    assert {r["media_id"]: r["feature"] for r in feats} == again
+
+    frames = sample_frames(media, every_nth=10).collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    assert len(frames) == sum(
+        len(range(0, r["meta"]["n_frames"], 10)) for r in vids
+    )
+    with pytest.raises(NotImplementedError):
+        image_features(media, decoder="real")
