@@ -1,0 +1,226 @@
+"""BENCH harness: headline queries + scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "pagerank": {...}, "scaling": {...}}
+
+Headline metric (BASELINE.json north rule): PageRank edges/sec/iteration to
+1e-6 L1 on the transcript-shaped event link graph. Cluster-size scaling is
+evidenced sandbox-style (no real cluster): the same fixed-superstep job runs
+at local[N] and local[4N] in child processes on the same input; efficiency =
+throughput(4N) / (4 * throughput(N)).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALING_ITERS = 12  # fixed supersteps for the two-parallelism comparison
+
+
+def _spark(cores: int):
+    from parallel_pagerank_spark import EngineConfig, get_spark
+
+    return get_spark(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        config=EngineConfig(shuffle_partitions=max(cores, 8)),
+    )
+
+
+def _timed(fn):
+    t0 = time.monotonic()
+    out = fn()
+    return time.monotonic() - t0, out
+
+
+SCALE_EDGES = int(os.environ.get("BENCH_SCALE_EDGES", "3000000"))
+SCALE_VERTICES = int(
+    os.environ.get("BENCH_SCALE_VERTICES", str(SCALE_EDGES // 10))
+)
+
+
+def child_scaling(cores: int) -> None:
+    """Fixed-superstep PageRank loop on the deterministic synthetic scaling
+    graph (big enough that per-superstep work dominates fixed job
+    overhead); prints {"t_loop":..., "edges":...}."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.sources.generators import (
+        synthetic_scaling_edges,
+    )
+
+    spark = _spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = synthetic_scaling_edges(spark, SCALE_EDGES, SCALE_VERTICES)
+    vertices = spark.range(SCALE_VERTICES)
+    # warmup: one tiny action so JVM/codegen startup isn't in the loop time
+    edges.limit(10).count()
+    t0 = time.monotonic()
+    pagerank(
+        edges,
+        vertices=vertices,
+        config=PageRankConfig(tol=0.0, max_iter=SCALING_ITERS),
+    )
+    t_loop = time.monotonic() - t0
+    print(json.dumps({"t_loop": t_loop, "edges": SCALE_EDGES}))
+    spark.stop()
+
+
+def child_headline() -> None:
+    """Headline queries at full parallelism; prints the inner JSON."""
+    from pyspark.sql import functions as F
+
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        simhash,
+    )
+    from parallel_pagerank_spark.functions.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from parallel_pagerank_spark.functions.text import analyze_documents
+    from parallel_pagerank_spark.operators.components import (
+        large_star_small_star,
+    )
+    from parallel_pagerank_spark.operators.labelprop import label_propagation
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.operators.triangles import triangle_count
+    from parallel_pagerank_spark.sources.events import (
+        cooccurrence_edges,
+        event_graph_edges,
+    )
+
+    spark = _spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    edges = event_graph_edges(events).cache()
+    n_edges = edges.count()
+
+    queries: dict[str, float] = {}
+    pr_stats: dict = {}
+
+    def q(name, fn):
+        queries[name], out = _timed(fn)
+        return out
+
+    res = q(
+        "pagerank_1e6",
+        lambda: pagerank(
+            edges, config=PageRankConfig(tol=1e-6, max_iter=300)
+        ),
+    )
+    pr_loop_s = sum(m["wall_ms"] for m in res.metrics) / 1000.0
+    pr_stats = {
+        "iterations": res.iterations,
+        "converged": res.converged,
+        "final_l1": res.metrics[-1]["l1"] if res.metrics else None,
+        "edges": n_edges,
+        "loop_sec": pr_loop_s,
+        "edges_per_sec_per_iter": (
+            n_edges * res.iterations / pr_loop_s if pr_loop_s else None
+        ),
+    }
+    q(
+        "connected_components",
+        lambda: large_star_small_star(edges).components.count(),
+    )
+    q(
+        "label_propagation_5",
+        lambda: label_propagation(edges, max_iter=5).labels.count(),
+    )
+    q(
+        "triangle_count",
+        lambda: triangle_count(cooccurrence_edges(events, 2)),
+    )
+    q("text_analysis", lambda: analyze_documents(docs).count())
+    q(
+        "minhash_lsh",
+        lambda: minhash_lsh_candidates(docs).count(),
+    )
+    q("simhash", lambda: simhash(docs).count())
+    q(
+        "knn_bruteforce",
+        lambda: cosine_topk_bruteforce(
+            emb, emb.orderBy("vec_id").limit(8), k=10
+        ).count(),
+    )
+    print(
+        json.dumps({"queries": queries, "pagerank": pr_stats})
+    )
+    spark.stop()
+
+
+def run_child(args: list[str]) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *args],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3000,
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not last:
+        raise RuntimeError(
+            f"child {args} produced no JSON; stderr tail: "
+            f"{out.stderr[-2000:]}"
+        )
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        if sys.argv[1] == "--scaling-child":
+            child_scaling(int(sys.argv[2]))
+            return
+        if sys.argv[1] == "--headline-child":
+            child_headline()
+            return
+
+    small = max(2, CPUS // 4)
+    s_small = run_child(["--scaling-child", str(small)])
+    s_big = run_child(["--scaling-child", str(CPUS)])
+    head = run_child(["--headline-child"])
+
+    thr_small = s_small["edges"] * SCALING_ITERS / s_small["t_loop"]
+    thr_big = s_big["edges"] * SCALING_ITERS / s_big["t_loop"]
+    efficiency = thr_big / (4.0 * thr_small)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "pagerank_edges_per_sec_per_iter_to_1e-6_L1",
+        "value": round(sum(head["queries"].values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in head["queries"].items()},
+        "sf": float(sf),
+        "pagerank": head["pagerank"],
+        "scaling": {
+            "cores_small": small,
+            "cores_big": CPUS,
+            "iters": SCALING_ITERS,
+            "t_small": round(s_small["t_loop"], 3),
+            "t_big": round(s_big["t_loop"], 3),
+            "throughput_small": round(thr_small, 1),
+            "throughput_big": round(thr_big, 1),
+            "efficiency": round(efficiency, 4),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

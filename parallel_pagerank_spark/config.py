@@ -25,7 +25,7 @@ class PageRankConfig:
     max_iter: int = 200
     # resumable-superstep machinery (north rule; no reference counterpart —
     # the MPI code keeps all state in process memory)
-    checkpoint_interval: int = 10
+    checkpoint_interval: int = 5
     checkpoint_dir: str | None = None
     # physical tuning
     num_partitions: int | None = None  # None → spark.sql.shuffle.partitions

@@ -68,31 +68,50 @@ def char_shingles(text_col, n: int = 5) -> "F.Column":
     )
 
 
+def _minhash_params(num_hashes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
 def minhash_signature(
     shingles_col, num_hashes: int = 64, seed: int = 42
 ) -> "F.Column":
     """k-minhash signature as array<long>: h_i(x) = (a_i·x + b_i) mod p with
-    x = xxhash64(shingle) folded into [0, 2^31), p = 2^31-1. Pure Column
-    expressions — the per-shingle work is an aggregate over the array."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
-    x = F.transform(
+    x = xxhash64(shingle) folded into [0, 2^31), p = 2^31-1.
+
+    Single-pass: ONE aggregate over the shingle array carries the running
+    k-vector of minima (element-wise zip_with(least)). The naive form — k
+    separate array_min(transform(...)) expressions — re-evaluates the
+    shingle hashing k times per row (no CSE across the big expression
+    forest) and was ~100× slower in practice."""
+    a, b = _minhash_params(num_hashes, seed)
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b")
+            )
+            for ai, bi in zip(a, b)
+        ]
+    )
+    # hash every shingle exactly once (bound lambda variable x is evaluated
+    # once per shingle, NOT once per hash function)
+    xs = F.transform(
         shingles_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))
     )
-    mins = [
-        F.array_min(
+    init = F.array_repeat(F.lit(_MERSENNE + 1), num_hashes)
+    return F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
             F.transform(
-                x,
-                lambda v: F.pmod(
-                    v * F.lit(int(a[i])) + F.lit(int(b[i])),
-                    F.lit(_MERSENNE),
-                ),
-            )
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+                ab, lambda t: F.pmod(x * t["a"] + t["b"], F.lit(_MERSENNE))
+            ),
+            lambda m, h: F.least(m, h),
+        ),
+    )
 
 
 def minhash_lsh_candidates(

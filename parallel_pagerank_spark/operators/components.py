@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.checkpoint import SuperstepCheckpointer
+from ..plans.iterate import SuperstepState
 from .graph import symmetrize, vertices_from_edges
 
 
@@ -42,7 +43,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
-    checkpoint_interval: int = 10,
+    checkpoint_interval: int = 5,
     num_partitions: int | None = None,
 ) -> ComponentsResult:
     """Synchronous min-label propagation to fixpoint."""
@@ -59,26 +60,35 @@ def connected_components(
     )
     sym.count()
     ckpt = SuperstepCheckpointer(checkpoint_dir, "components")
-
-    labels = vertices.select(
-        "id", F.col("id").alias("label")
-    ).repartition(num_parts, "id")
-    labels = labels.localCheckpoint(eager=True)
+    state = SuperstepState(
+        num_parts, "id", checkpointer=ckpt,
+        truncate_interval=checkpoint_interval,
+    )
+    labels = state.init(
+        vertices.select("id", F.col("id").alias("label"))
+    )
 
     metrics: list[dict] = []
     steps = 0
     converged = False
     while steps < max_iter:
         # neighbor minimum: push each vertex's label along every edge,
-        # take min at the destination
+        # take min at the destination. Both join sides are pre-partitioned
+        # on the join key → zero-shuffle join; shuffle_hash avoids sorts.
         neigh_min = (
-            sym.join(labels, sym.src == labels.id, "inner")
+            sym.join(
+                labels.hint("shuffle_hash"), sym.src == labels.id, "inner"
+            )
             .groupBy("dst")
             .agg(F.min("label").alias("neigh_label"))
         )
         new_labels = (
             labels.select("id", F.col("label").alias("old_label"))
-            .join(neigh_min, labels.id == neigh_min.dst, "left")
+            .join(
+                neigh_min.hint("shuffle_hash"),
+                labels.id == neigh_min.dst,
+                "left",
+            )
             .select(
                 "id",
                 "old_label",
@@ -87,7 +97,7 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.agg(
                 F.sum(
@@ -98,15 +108,10 @@ def connected_components(
         )
         steps += 1
         metrics.append({"superstep": steps, "changed": int(changed)})
-        old = labels
-        labels = new_labels.select("id", "label")
-        old.unpersist()
-        if changed == 0:
-            converged = True
-        if ckpt.enabled and (
-            converged or steps % checkpoint_interval == 0
-        ):
-            ckpt.save(labels, steps, metrics, converged=converged)
+        converged = changed == 0
+        labels = state.advance(
+            new_labels.select("id", "label"), steps, metrics, converged
+        )
         if converged:
             break
     sym.unpersist()

@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..plans.iterate import SuperstepState
 from .graph import symmetrize, vertices_from_edges
 
 
@@ -50,17 +51,19 @@ def label_propagation(
     )
     sym.count()
 
-    labels = vertices.select(
-        "id", F.col("id").alias("label")
-    ).repartition(num_parts, "id")
-    labels = labels.localCheckpoint(eager=True)
+    state = SuperstepState(num_parts, "id")
+    labels = state.init(
+        vertices.select("id", F.col("id").alias("label"))
+    )
 
     metrics: list[dict] = []
     steps = 0
     converged = False
     while steps < max_iter:
         freq = (
-            sym.join(labels, sym.src == labels.id, "inner")
+            sym.join(
+                labels.hint("shuffle_hash"), sym.src == labels.id, "inner"
+            )
             .groupBy("dst", "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -74,7 +77,9 @@ def label_propagation(
         )
         new_labels = (
             labels.select("id", F.col("label").alias("old_label"))
-            .join(best, labels.id == best.dst, "left")
+            .join(
+                best.hint("shuffle_hash"), labels.id == best.dst, "left"
+            )
             .select(
                 "id",
                 "old_label",
@@ -83,7 +88,7 @@ def label_propagation(
                 ),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.agg(
                 F.sum(
@@ -94,11 +99,11 @@ def label_propagation(
         )
         steps += 1
         metrics.append({"superstep": steps, "changed": int(changed)})
-        old = labels
-        labels = new_labels.select("id", "label")
-        old.unpersist()
-        if changed == 0:
-            converged = True
+        converged = changed == 0
+        labels = state.advance(
+            new_labels.select("id", "label"), steps, metrics, converged
+        )
+        if converged:
             break
     sym.unpersist()
     return LabelPropagationResult(labels, steps, converged, metrics)

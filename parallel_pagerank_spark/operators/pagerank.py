@@ -17,9 +17,16 @@ Physical layout (SURVEY.md §4.3):
   sum (pagerank_mpi.c:166-174) never needs a join.
 - ONE Spark action per superstep: a fused aggregate computing L1, max-error
   (pagerank_mpi.c:201-213) AND the next iteration's dangling sum.
-- lineage truncated every superstep via localCheckpoint; durable
-  parquet checkpoints + a JSON manifest every ``checkpoint_interval``
-  supersteps make the loop resumable (north rule).
+- ranks stay hash-partitioned on id across supersteps (persist retains the
+  partitioning, unlike localCheckpoint which degrades the DataFrame to a
+  bare RDD scan and forces a re-Exchange per join): the SpMV join is then
+  zero-shuffle (edges hash(src,P) x ranks hash(id,P)) and an iteration
+  pays exactly two exchanges — the contribution aggregation and the
+  aggregated contribs into the update join.
+- lineage/plan growth is truncated every ``checkpoint_interval`` supersteps
+  by a parquet round-trip; with a configured checkpoint_dir those parquet
+  snapshots double as the durable resume points (JSON manifest with
+  per-partition lineage + metrics, north rule).
 """
 
 from __future__ import annotations
@@ -118,7 +125,7 @@ def pagerank(
             )
             .repartition(num_parts, "id")
         )
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
 
     # initial dangling sum: every dangling vertex holds exactly 1/N
     srow = ranks.agg(
@@ -126,24 +133,44 @@ def pagerank(
     ).first()
     dangling_sum = srow["s"] or 0.0
 
+    # lineage-truncation scratch dir: reuse the durable checkpoint dir when
+    # configured, else a session-temp dir (plan depth must stay bounded —
+    # Catalyst has no fixpoint operator, SURVEY.md §4.3)
+    import shutil
+    import tempfile
+
+    scratch = None
+    prev_scratch_path = None
+    if not ckpt.enabled:
+        scratch = tempfile.mkdtemp(prefix="ppr_truncate_")
+
     converged = False
     it = start_iter
     while it < cfg.max_iter:
         t0 = time.monotonic()
         # SpMV gather (pagerank_mpi.c:176-192): join pulls rank[src] to each
         # edge; hash-agg on dst scatter-sums the contributions with map-side
-        # partial aggregation.
+        # partial aggregation. Both sides are pre-partitioned on their join
+        # key (edges hash(src,P) persisted, ranks hash(id,P) persisted) →
+        # zero-shuffle join; shuffle_hash avoids SMJ sorts.
         contribs = (
-            edges_w.join(ranks, edges_w.src == ranks.id, "inner")
+            edges_w.join(
+                ranks.hint("shuffle_hash"), edges_w.src == ranks.id, "inner"
+            )
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
-        # update (pagerank_mpi.c:194-196)
+        # update (pagerank_mpi.c:194-196): contribs arrive hash(dst,P) from
+        # the aggregation exchange — aligns with ranks hash(id,P)
         new_ranks = (
             ranks.select(
                 "id", "dangling", F.col("rank").alias("old_rank")
             )
-            .join(contribs, ranks.id == contribs.dst, "left")
+            .join(
+                contribs.hint("shuffle_hash"),
+                ranks.id == contribs.dst,
+                "left",
+            )
             .select(
                 "id",
                 "dangling",
@@ -158,9 +185,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
+        new_ranks = new_ranks.persist(StorageLevel.MEMORY_AND_DISK)
         # ONE action: fused convergence metrics (pagerank_mpi.c:201-213,
-        # D3+D4) + next iteration's dangling sum.
+        # D3+D4) + next iteration's dangling sum; materializes new_ranks.
         row = new_ranks.agg(
             F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("l1"),
             F.max(F.abs(F.col("rank") - F.col("old_rank"))).alias("max_err"),
@@ -175,15 +202,33 @@ def pagerank(
         )
         old = ranks
         ranks = new_ranks.select("id", "rank", "dangling")
-        old.unpersist()
         # stop when L1 < threshold, checked after the update
         # (pagerank_mpi.c:220-226; L1 is the operative criterion)
         if l1 < cfg.tol:
             converged = True
-        if ckpt.enabled and (
-            converged or it % cfg.checkpoint_interval == 0
-        ):
-            ckpt.save(ranks, it, metrics, converged=converged)
+        truncate = converged or it % cfg.checkpoint_interval == 0
+        if truncate:
+            if ckpt.enabled:
+                ckpt.save(ranks, it, metrics, converged=converged)
+                path = ckpt.step_path(it)
+            else:
+                path = f"{scratch}/step_{it:06d}"
+                ranks.write.mode("overwrite").parquet(path)
+            # parquet round-trip: bounded plan depth + stable partitioning
+            new_ranks.unpersist()
+            ranks = (
+                spark.read.parquet(path)
+                .repartition(num_parts, "id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            ranks.count()
+            # prune the previous scratch snapshot (keep the live one — the
+            # returned DataFrame's cache may refill from it)
+            if prev_scratch_path is not None:
+                shutil.rmtree(prev_scratch_path, ignore_errors=True)
+            if not ckpt.enabled:
+                prev_scratch_path = path
+        old.unpersist()
         if converged:
             break
 

@@ -29,6 +29,9 @@ class SuperstepCheckpointer:
     def _manifest_path(self) -> str:
         return os.path.join(self.base, "manifest.json")
 
+    def step_path(self, iteration: int) -> str:
+        return os.path.join(self.base, f"step_{iteration:06d}")
+
     def _read_manifest(self) -> list[dict]:
         try:
             with open(self._manifest_path()) as f:

@@ -1,0 +1,95 @@
+"""Checkpoint/resume (north rule: superstep state resumable with
+per-partition lineage + convergence metrics) and source parsing."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from parallel_pagerank_spark.config import PageRankConfig
+from parallel_pagerank_spark.operators.pagerank import pagerank
+from parallel_pagerank_spark.sources.edgelist import (
+    read_edge_list,
+    write_edge_list,
+)
+
+from .conftest import edges_df
+from .oracles import SMALL_GRAPH, pagerank_oracle
+
+
+def test_checkpoint_manifest_and_resume(spark, tmp_path):
+    ck = str(tmp_path / "ck")
+    df = edges_df(spark, SMALL_GRAPH)
+    cfg = PageRankConfig(checkpoint_dir=ck, checkpoint_interval=7)
+    res = pagerank(df, config=cfg)
+    assert res.converged and res.iterations == 26
+
+    manifest = json.loads((tmp_path / "ck/pagerank/manifest.json").read_text())
+    iters = [m["iteration"] for m in manifest]
+    assert iters == [7, 14, 21, 26]
+    assert manifest[-1]["converged"] is True
+    # per-partition lineage recorded
+    assert sum(p["rows"] for p in manifest[-1]["partitions"]) == 4
+    # convergence metrics carried in the manifest
+    assert len(manifest[-1]["metrics"]) == 26
+    assert manifest[-1]["metrics"][-1]["l1"] < 1e-6
+
+    # resume from a converged checkpoint: immediate return, same ranks
+    res2 = pagerank(df, config=cfg, resume=True)
+    assert res2.converged and res2.iterations == 26
+    a = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in res2.ranks.collect()}
+    assert a == b
+
+
+def test_resume_from_partial_checkpoint(spark, tmp_path):
+    """Kill the loop mid-run (max_iter) and resume to convergence: final
+    ranks must match the uninterrupted run exactly."""
+    ck = str(tmp_path / "ck2")
+    df = edges_df(spark, SMALL_GRAPH)
+    partial = pagerank(
+        df,
+        config=PageRankConfig(
+            checkpoint_dir=ck, checkpoint_interval=5, max_iter=10
+        ),
+    )
+    assert not partial.converged and partial.iterations == 10
+    resumed = pagerank(
+        df,
+        config=PageRankConfig(checkpoint_dir=ck, checkpoint_interval=5),
+        resume=True,
+    )
+    assert resumed.converged
+    # resume restarts from iteration 10 (last checkpoint) and lands on the
+    # same fixpoint and total iteration count as the uninterrupted run
+    assert resumed.iterations == 26
+    oracle_ranks, _, _ = pagerank_oracle(SMALL_GRAPH, tol=1e-6)
+    got = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    assert np.allclose(
+        [got[i] for i in range(4)], oracle_ranks, atol=1e-6
+    )
+
+
+def test_edge_list_roundtrip(spark, tmp_path):
+    df = edges_df(spark, SMALL_GRAPH)
+    path = str(tmp_path / "edges_out")
+    write_edge_list(df, path)
+    back = read_edge_list(spark, path)
+    assert sorted((r["src"], r["dst"]) for r in back.collect()) == sorted(
+        SMALL_GRAPH
+    )
+
+
+def test_edge_list_tolerant_parse(spark, tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_text(
+        "# header comment\n0 1\n1\t2\n\nnot numbers\n3 garbage\n2 0\n# end\n"
+    )
+    got = read_edge_list(spark, str(p)).collect()
+    assert sorted((r["src"], r["dst"]) for r in got) == [
+        (0, 1),
+        (1, 2),
+        (2, 0),
+    ]
