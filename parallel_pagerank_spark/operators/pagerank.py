@@ -52,17 +52,48 @@ class PageRankResult:
 
 def _prepare_weighted_edges(
     edges: DataFrame, num_partitions: int, salt_buckets: int
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """edges ⋈ out_deg once (iteration-invariant — pagerank_mpi.c:179 computes
     row_ptr[j+1]-row_ptr[j] per edge per iteration; we fold it into a
-    precomputed weight column w = 1/out_deg)."""
+    precomputed weight column w = 1/out_deg).
+
+    Hub-skew salting (north rule; the reference's contiguous ranges make
+    hub skew WORSE — SURVEY.md §4.1): with salt_buckets = s > 0, vertices
+    whose out-degree exceeds ~(E / num_partitions) get their edge sets
+    split across s salt values; the per-iteration join key becomes
+    (src, salt) so one hub no longer pins a whole partition. The ranks side
+    is replicated s× for hub ids only (a small broadcast-joined dimension).
+    Returns (weighted edges with salt column, hub-id DataFrame or None).
+    """
     deg = out_degrees(edges)
     w = edges.join(
         deg.withColumnRenamed("id", "src"), on="src", how="inner"
-    ).select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
     )
-    return w.repartition(num_partitions, "src")
+    if salt_buckets <= 1:
+        return (
+            w.select(
+                "src",
+                "dst",
+                (F.lit(1.0) / F.col("out_deg")).alias("w"),
+                F.lit(0).alias("salt"),
+            ).repartition(num_partitions, "src"),
+            None,
+        )
+    total = edges.count()
+    hub_threshold = max(32, total // num_partitions)
+    hubs = deg.filter(F.col("out_deg") > hub_threshold).select("id")
+    salted = w.select(
+        "src",
+        "dst",
+        (F.lit(1.0) / F.col("out_deg")).alias("w"),
+        F.when(
+            F.col("out_deg") > hub_threshold,
+            F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+    return salted.repartition(num_partitions, "src", "salt"), hubs
 
 
 def pagerank(
@@ -92,9 +123,16 @@ def pagerank(
         empty = spark.createDataFrame([], "id long, rank double")
         return PageRankResult(empty, 0, True, [])
 
-    edges_w = _prepare_weighted_edges(edges, num_parts, cfg.salt_buckets)
+    edges_w, hubs = _prepare_weighted_edges(
+        edges, num_parts, cfg.salt_buckets
+    )
     edges_w = edges_w.persist(StorageLevel.MEMORY_AND_DISK)
     edges_w.count()  # materialize once
+    if hubs is not None:
+        hubs = hubs.withColumn("is_hub", F.lit(True)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        hubs.count()
 
     ckpt = SuperstepCheckpointer(cfg.checkpoint_dir, "pagerank")
 
@@ -153,10 +191,33 @@ def pagerank(
         # partial aggregation. Both sides are pre-partitioned on their join
         # key (edges hash(src,P) persisted, ranks hash(id,P) persisted) →
         # zero-shuffle join; shuffle_hash avoids SMJ sorts.
-        contribs = (
-            edges_w.join(
-                ranks.hint("shuffle_hash"), edges_w.src == ranks.id, "inner"
+        if hubs is None:
+            gather_side = ranks
+            cond = edges_w.src == gather_side.id
+        else:
+            # replicate hub ranks across salt buckets (hubs is tiny →
+            # broadcast); the (src, salt) join key splits each hub's edges
+            # over salt_buckets partitions
+            gather_side = (
+                ranks.join(F.broadcast(hubs), "id", "left")
+                .select(
+                    "id",
+                    "rank",
+                    F.explode(
+                        F.when(
+                            F.col("is_hub").isNotNull(),
+                            F.sequence(
+                                F.lit(0), F.lit(cfg.salt_buckets - 1)
+                            ),
+                        ).otherwise(F.array(F.lit(0)))
+                    ).alias("rsalt"),
+                )
             )
+            cond = (edges_w.src == gather_side.id) & (
+                edges_w.salt == gather_side.rsalt
+            )
+        contribs = (
+            edges_w.join(gather_side.hint("shuffle_hash"), cond, "inner")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )

@@ -129,3 +129,22 @@ def test_empty_graph(spark):
     res = pagerank(df, config=PageRankConfig())
     assert res.ranks.count() == 0
     assert res.converged
+
+
+def test_salted_hub_skew_matches(spark):
+    # salting must not change results: star hub with out-degree >> E/P
+    n = 60
+    edges = (
+        [(0, i) for i in range(1, n)]
+        + [(i, 0) for i in range(1, n)]
+        + [(i, i % 7) for i in range(1, n)]
+    )
+    res_plain, oracle_iters, got_plain, want = run_both(spark, edges)
+    df = edges_df(spark, edges)
+    res_salted = pagerank(
+        df, config=PageRankConfig(tol=1e-6, salt_buckets=4)
+    )
+    got = {r["id"]: r["rank"] for r in res_salted.ranks.collect()}
+    got_vec = np.array([got[i] for i in sorted(got)])
+    assert res_salted.iterations == oracle_iters
+    assert np.allclose(got_vec, want, atol=1e-6)
