@@ -30,6 +30,12 @@ class PageRankConfig:
     # physical tuning
     num_partitions: int | None = None  # None → spark.sql.shuffle.partitions
     salt_buckets: int = 0  # >0 → salt high-degree sources in the SpMV agg
+    # SpMV strategy: "auto" broadcasts the rank vector into the gather join
+    # when N <= broadcast_threshold (zero shuffles per superstep; the rank
+    # table must fit in driver/executor memory), else shuffle-joins
+    # ("shuffle" = always scale-safe path, "broadcast" = force)
+    spmv_mode: str = "auto"
+    broadcast_threshold: int = 20_000_000
 
 
 @dataclass(frozen=True)

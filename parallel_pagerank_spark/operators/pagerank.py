@@ -51,7 +51,10 @@ class PageRankResult:
 
 
 def _prepare_weighted_edges(
-    edges: DataFrame, num_partitions: int, salt_buckets: int
+    edges: DataFrame,
+    num_partitions: int,
+    salt_buckets: int,
+    partition_key: str = "src",
 ) -> tuple[DataFrame, DataFrame | None]:
     """edges ⋈ out_deg once (iteration-invariant — pagerank_mpi.c:179 computes
     row_ptr[j+1]-row_ptr[j] per edge per iteration; we fold it into a
@@ -76,7 +79,7 @@ def _prepare_weighted_edges(
                 "dst",
                 (F.lit(1.0) / F.col("out_deg")).alias("w"),
                 F.lit(0).alias("salt"),
-            ).repartition(num_partitions, "src"),
+            ).repartition(num_partitions, partition_key),
             None,
         )
     total = edges.count()
@@ -123,8 +126,14 @@ def pagerank(
         empty = spark.createDataFrame([], "id long, rank double")
         return PageRankResult(empty, 0, True, [])
 
+    use_broadcast = cfg.spmv_mode == "broadcast" or (
+        cfg.spmv_mode == "auto" and n <= cfg.broadcast_threshold
+    )
     edges_w, hubs = _prepare_weighted_edges(
-        edges, num_parts, cfg.salt_buckets
+        edges,
+        num_parts,
+        0 if use_broadcast else cfg.salt_buckets,
+        partition_key="dst" if use_broadcast else "src",
     )
     edges_w = edges_w.persist(StorageLevel.MEMORY_AND_DISK)
     edges_w.count()  # materialize once
@@ -191,7 +200,14 @@ def pagerank(
         # partial aggregation. Both sides are pre-partitioned on their join
         # key (edges hash(src,P) persisted, ranks hash(id,P) persisted) →
         # zero-shuffle join; shuffle_hash avoids SMJ sorts.
-        if hubs is None:
+        if use_broadcast:
+            # zero-shuffle superstep: edges are dst-partitioned and cached;
+            # ranks broadcast into the gather join (streamed-side
+            # partitioning is preserved, so the dst aggregation needs no
+            # exchange and the update join is already aligned)
+            gather_side = F.broadcast(ranks)
+            cond = edges_w.src == ranks.id
+        elif hubs is None:
             gather_side = ranks
             cond = edges_w.src == gather_side.id
         else:
@@ -216,10 +232,13 @@ def pagerank(
             cond = (edges_w.src == gather_side.id) & (
                 edges_w.salt == gather_side.rsalt
             )
-        contribs = (
-            edges_w.join(gather_side.hint("shuffle_hash"), cond, "inner")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        joined = (
+            edges_w.join(gather_side, cond, "inner")
+            if use_broadcast
+            else edges_w.join(gather_side.hint("shuffle_hash"), cond, "inner")
+        )
+        contribs = joined.groupBy("dst").agg(
+            F.sum(F.col("rank") * F.col("w")).alias("contrib")
         )
         # update (pagerank_mpi.c:194-196): contribs arrive hash(dst,P) from
         # the aggregation exchange — aligns with ranks hash(id,P)

@@ -40,7 +40,10 @@ def get_spark(
             "spark.sql.execution.arrow.pyspark.enabled", str(cfg.arrow).lower()
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
+        )  # local mode: executors share the driver JVM — an undersized heap
+        # GC-thrashes at high thread counts and kills scaling
         .config("spark.sql.autoBroadcastJoinThreshold", "32m")
         .config("spark.checkpoint.compress", "true")
     )

@@ -148,3 +148,33 @@ def test_salted_hub_skew_matches(spark):
     got_vec = np.array([got[i] for i in sorted(got)])
     assert res_salted.iterations == oracle_iters
     assert np.allclose(got_vec, want, atol=1e-6)
+
+
+def test_vectorized_fast_path_parity(spark):
+    from parallel_pagerank_spark.operators.pagerank_fast import (
+        pagerank_vectorized,
+    )
+
+    for edges in [
+        SMALL_GRAPH,
+        load_edge_list("/root/reference/sample_graphs/medium_graph.txt"),
+        [(0, 1), (1, 2), (3, 0), (3, 5), (5, 3)],  # dangling + id gap
+    ]:
+        oracle_ranks, oracle_iters, _ = pagerank_oracle(edges, tol=1e-6)
+        df = edges_df(spark, edges)
+        res = pagerank_vectorized(df, config=PageRankConfig(tol=1e-6))
+        assert res.iterations == oracle_iters
+        got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+        got_vec = np.array([got[i] for i in sorted(got)])
+        assert np.allclose(got_vec, oracle_ranks, atol=1e-6)
+
+
+def test_vectorized_rejects_sparse_ids(spark):
+    from parallel_pagerank_spark.operators.pagerank_fast import (
+        pagerank_vectorized,
+    )
+
+    df = edges_df(spark, [(0, 1)])
+    v = spark.createDataFrame([(0,)], "id long")  # N=1 < max_id
+    with pytest.raises(ValueError, match="dense ids"):
+        pagerank_vectorized(df, vertices=v)
