@@ -125,3 +125,66 @@ def adjacency_lists(edges: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("dst")).alias("neighbors"))
         .orderBy("src")
     )
+
+
+def rank_histogram(
+    ranks: DataFrame, bins: int = 30, rank_col: str = "rank"
+) -> DataFrame:
+    """``(bin, lo, hi, num_vertices)`` — fixed-width histogram of the rank
+    distribution (dashboard/app.py:425-433 / visualize_pagerank.py:169-204
+    matplotlib hist analog, as data not pixels). One pass for min/max, one
+    aggregation pass; top edge inclusive like numpy.histogram."""
+    row = ranks.agg(
+        F.min(rank_col).alias("lo"), F.max(rank_col).alias("hi")
+    ).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bin_col = F.least(
+        F.floor((F.col(rank_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(bins - 1),
+    )
+    return (
+        ranks.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("num_vertices"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+            "num_vertices",
+        )
+        .orderBy("bin")
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """``(id, triangles, degree, coefficient)`` — local clustering
+    coefficient over the undirected simple graph: triangles /
+    (deg·(deg−1)/2). Degree-oriented triangle corners joined against
+    canonical degrees; vertices with degree < 2 get coefficient 0."""
+    from .graph import canonical_edges
+    from .triangles import per_vertex_triangle_counts
+
+    canon = canonical_edges(edges)
+    deg = (
+        canon.select(F.col("u").alias("id"))
+        .unionAll(canon.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = per_vertex_triangle_counts(edges)
+    possible = F.col("degree") * (F.col("degree") - 1) / 2.0
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            "degree",
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce("triangles", F.lit(0)) / possible,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coefficient"),
+        )
+    )

@@ -147,3 +147,52 @@ def test_dangling_and_isolated_stats(spark):
     dang = sorted(r["id"] for r in dangling_vertices(df).collect())
     assert dang == [2, 3, 5]
     assert isolated_count(df) == 1
+
+
+def test_rank_histogram(spark):
+    from parallel_pagerank_spark.operators.stats import rank_histogram
+
+    # integer-valued ranks: bin edges exact in binary (no float-edge
+    # ambiguity; fixed-width binning semantics like numpy.histogram)
+    ranks = spark.createDataFrame(
+        [(i, float(i)) for i in range(16)], "id long, rank double"
+    )
+    h = rank_histogram(ranks, bins=5).collect()
+    assert sum(r["num_vertices"] for r in h) == 16
+    assert [r["num_vertices"] for r in h] == [3, 3, 3, 3, 4]  # top inclusive
+    assert h[0]["lo"] == 0.0 and abs(h[-1]["hi"] - 15.0) < 1e-12
+
+
+def test_clustering_coefficient(spark):
+    from parallel_pagerank_spark.operators.stats import (
+        clustering_coefficient,
+    )
+
+    # triangle 0-1-2 plus pendant 3 attached to 0
+    df = edges_df(spark, [(0, 1), (1, 2), (2, 0), (0, 3)])
+    got = {
+        r["id"]: (r["triangles"], r["degree"], r["coefficient"])
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got[1] == (1, 2, 1.0)
+    assert got[2] == (1, 2, 1.0)
+    assert got[0][0] == 1 and got[0][1] == 3
+    assert abs(got[0][2] - 1 / 3) < 1e-12
+    assert got[3] == (0, 1, 0.0)
+
+
+def test_metrics_sinks(tmp_path):
+    import json as _json
+
+    from parallel_pagerank_spark.plans.metrics import (
+        metrics_to_csv,
+        metrics_to_json,
+    )
+
+    m = [{"iteration": 1, "l1": 0.5}, {"iteration": 2, "l1": 0.1}]
+    jp, cp = str(tmp_path / "m.json"), str(tmp_path / "m.csv")
+    metrics_to_json(m, jp)
+    metrics_to_csv(m, cp)
+    assert _json.load(open(jp)) == m
+    rows = open(cp).read().strip().splitlines()
+    assert rows[0] == "iteration,l1" and len(rows) == 3
