@@ -1,0 +1,121 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(SURVEY.md §4.3 / BENCH/BASELINE.md) asserted against explain() output so a
+refactor can't silently reintroduce shuffles or row-at-a-time Python.
+
+These inspect plan STRUCTURE, not timings — they run fast on tiny data.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import edges_df
+from .oracles import SMALL_GRAPH
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_spmv_join_is_coparitioned_zero_shuffle(spark):
+    """The per-superstep gather join must not re-shuffle either side when
+    edges and ranks are pre-partitioned on the join key: exactly the two
+    intended exchanges appear downstream (contribution agg + update
+    alignment), and none sit between the persisted inputs and the join."""
+    from pyspark.storagelevel import StorageLevel
+
+    P = 8
+    edges = (
+        edges_df(spark, SMALL_GRAPH)
+        .withColumn("w", F.lit(1.0))
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    edges.count()
+    ranks = (
+        spark.range(4)
+        .select("id", F.lit(0.25).alias("rank"))
+        .repartition(P, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks.count()
+    joined = edges.join(
+        ranks.hint("shuffle_hash"), edges.src == ranks.id, "inner"
+    )
+    plan = _plan(joined)
+    # co-partitioned persisted inputs → the join itself introduces NO
+    # Exchange. The explain text embeds the cached build lineage (which
+    # contains the ONE-TIME repartition exchanges) under InMemoryRelation,
+    # so only exchanges ABOVE the first InMemoryRelation are live.
+    live = plan.split("InMemoryRelation")[0]
+    assert "Exchange" not in live, plan
+    assert "ShuffledHashJoin" in live, plan
+    assert "BroadcastHashJoin" not in live, plan
+
+    contribs = joined.groupBy("dst").agg(
+        F.sum(F.col("rank") * F.col("w")).alias("contrib")
+    )
+    live2 = _plan(contribs).split("InMemoryRelation")[0]
+    # exactly ONE live exchange: the contribution aggregation...
+    assert live2.count("Exchange") == 1, live2
+    # ...with map-side partial aggregation (partial + final HashAggregate)
+    assert live2.count("HashAggregate") == 2, live2
+    edges.unpersist()
+    ranks.unpersist()
+
+
+def test_filter_and_projection_pushdown_to_parquet(spark, tmp_path):
+    """Predicate + column pruning must reach the parquet scan."""
+    path = str(tmp_path / "t")
+    spark.range(100).select(
+        "id", (F.col("id") * 2).alias("a"), F.lit("x").alias("b")
+    ).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("id") > 50).select("a")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,50)]" in plan, plan
+    # pruned read schema: only id (filter) and a (projection), never b
+    schema_line = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "b:string" not in schema_line, schema_line
+    assert "id:bigint" in schema_line and "a:bigint" in schema_line
+
+
+def test_whole_stage_codegen_covers_text_analysis(spark):
+    """Text analysis must stay inside whole-stage codegen (JVM) — no
+    Python evaluation nodes in the plan."""
+    from parallel_pagerank_spark.functions.text import analyze_documents
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox")], "doc_id long, text string"
+    )
+    plan = _plan(analyze_documents(docs))
+    # formatted mode marks codegen spans with '* ' and '[codegen id : N]'
+    assert "[codegen id" in plan, plan
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert marker not in plan, f"{marker} in text-analysis plan"
+
+
+def test_no_row_at_a_time_python_udfs_anywhere():
+    """input_hint contract: vectorized pandas/Arrow UDFs only — the
+    codebase must never call pyspark's row-at-a-time udf()."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for py in (root / "parallel_pagerank_spark").rglob("*.py"):
+        text = py.read_text()
+        assert "F.udf(" not in text and "functions.udf(" not in text, py
+        assert "@udf" not in text, py
+
+
+def test_topk_plans_take_ordered(spark):
+    """top_k_ranks must plan TakeOrderedAndProject (true distributed
+    top-k), not a global sort."""
+    from parallel_pagerank_spark.operators.pagerank import top_k_ranks
+
+    ranks = spark.range(100).select(
+        "id", (F.col("id") % 7).cast("double").alias("rank")
+    )
+    plan = _plan(top_k_ranks(ranks, 5))
+    assert "TakeOrderedAndProject" in plan, plan
