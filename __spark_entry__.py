@@ -310,6 +310,50 @@ def _q_knn_lsh(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    from parallel_pagerank_spark.functions.sessions import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def _q_session_stats(spark, sf_dir):
+    from parallel_pagerank_spark.functions.sessions import session_stats
+
+    return session_stats(_events(spark, sf_dir), gap_seconds=1800)
+
+
+def _q_neighbor_degree(spark, sf_dir):
+    """Degree correlation: for each source out-degree value, the average
+    in-degree of the destinations reached from sources of that degree."""
+    from parallel_pagerank_spark.operators.graph import (
+        in_degrees,
+        out_degrees,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    e = event_graph_edges(_events(spark, sf_dir))
+    od = out_degrees(e).withColumnRenamed("id", "src")
+    ind = in_degrees(e).withColumnRenamed("id", "dst")
+    return (
+        e.join(od, "src")
+        .join(ind, "dst")
+        .groupBy("out_deg")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.round(F.avg("in_deg"), 6).alias("avg_neighbor_in_deg"),
+        )
+    )
+
+
+def _q_doc_shingles(spark, sf_dir):
+    from parallel_pagerank_spark.functions.dedup import char_shingles
+
+    return _documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(char_shingles(F.col("text"), 5)).alias("n_shingles"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -327,6 +371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "knn_bruteforce": _q_knn_bruteforce,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "neighbor_degree": _q_neighbor_degree,
+        "doc_shingles": _q_doc_shingles,
         "pagerank_top20": _q_pagerank_top20,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
@@ -439,6 +487,54 @@ SELECT doc_id,
 FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
 """,
         "doc_langid": _langid_sql(),
+        "sessionize": """
+WITH ordered AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events)
+SELECT event_id, user_id,
+       sum(CASE WHEN prev_ts IS NULL
+                  OR date_diff('second', prev_ts, ts) > 1800
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM ordered
+""",
+        "session_stats": """
+WITH ordered AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+sess AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep,
+         sum(CASE WHEN prev_ts IS NULL
+                    OR date_diff('second', prev_ts, ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered)
+SELECT user_id, session_idx, count(*) AS n_events,
+       max(ep) - min(ep) AS duration_sec
+FROM sess GROUP BY user_id, session_idx
+""",
+        "neighbor_degree": f"""
+WITH {_EDGES_CTE},
+od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst)
+SELECT out_deg, count(*) AS n_edges,
+       round(avg(in_deg), 6) AS avg_neighbor_in_deg
+FROM edges JOIN od USING (src) JOIN ind USING (dst)
+GROUP BY out_deg
+""",
+        "doc_shingles": f"""
+WITH norm AS (SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents)
+SELECT doc_id,
+       len(list_distinct(
+         [substr(t, i, 5)
+          for i in range(1, greatest(length(t) - 4, 1) + 1)]
+       )) AS n_shingles
+FROM norm
+""",
         "knn_bruteforce": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
 scored AS (

@@ -1,0 +1,60 @@
+"""Sessionization — gap-based event sessions per user.
+
+No reference counterpart; a first-class training-data-pipeline operator
+(conversation/agent logs are sessionized before linking/analysis). Pure
+window expressions (lag + running sum), fully SQL-expressible so the driver
+gate can cross-check it against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """→ ``(event_id, user_id, session_idx)``: a new session starts when
+    the gap to the previous event of the same user exceeds
+    ``gap_seconds``. session_idx is 1-based per user, assigned in the
+    stable (ts, event_id) order."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (
+            (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts))
+            > gap_seconds
+        )
+    ).cast("long")
+    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        id_col,
+        user_col,
+        F.sum(new_sess).over(run).alias("session_idx"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-session summary: ``(user_id, session_idx, n_events,
+    duration_sec)`` (epoch-second arithmetic — portable across engines)."""
+    sess = sessionize(events, gap_seconds, user_col, ts_col, id_col)
+    joined = events.select(
+        id_col, F.unix_timestamp(ts_col).alias("epoch")
+    ).join(sess, id_col)
+    return joined.groupBy(user_col, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("epoch") - F.min("epoch")).alias("duration_sec"),
+    )

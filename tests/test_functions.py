@@ -286,3 +286,40 @@ def test_multimodal_plumbing(spark):
     )
     with pytest.raises(NotImplementedError):
         image_features(media, decoder="real")
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    from parallel_pagerank_spark.functions.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 31 min between events 2 and 3)
+        (1, 10, base),
+        (2, 10, base + dt.timedelta(minutes=5)),
+        (3, 10, base + dt.timedelta(minutes=36)),
+        # user 2: one session
+        (4, 20, base),
+        (5, 20, base + dt.timedelta(minutes=29)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+    stats = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["duration_sec"])
+        for r in session_stats(ev, gap_seconds=1800).collect()
+    }
+    assert stats == {
+        (10, 1): (2, 300),
+        (10, 2): (1, 0),
+        (20, 1): (2, 1740),
+    }
