@@ -104,6 +104,7 @@ def pagerank(
     vertices: DataFrame | None = None,
     config: PageRankConfig | None = None,
     resume: bool = False,
+    teleport: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank over ``edges(src, dst)``.
 
@@ -111,6 +112,13 @@ def pagerank(
     reference's dense-id rule (csr_graph.c:27): ids 0..max_id all exist.
     resume: continue from the latest durable checkpoint under
     ``config.checkpoint_dir`` if one exists.
+    teleport: optional ``(id, weight)`` DataFrame → PERSONALIZED PageRank:
+    p' = d·(contrib + S·v) + (1−d)·v with v the normalized weight vector.
+    The reference declares exactly this per-vertex teleport field
+    (``Node.e``, pagerank_mpi.h:13, initialized to 1/N at
+    pagerank_mpi.c:51) but never uses it after init — this implements the
+    declared intent; ``teleport=None`` is the reference's uniform v=1/N
+    behavior. Vertices absent from ``teleport`` get weight 0.
     """
     cfg = config or PageRankConfig()
     spark = edges.sparkSession
@@ -163,11 +171,27 @@ def pagerank(
         # init p = 1/N (pagerank_mpi.c:44-54); dangling flag = no out-edges
         # (pagerank_mpi.c:169) — iteration-invariant, carried on the rank row.
         deg = out_degrees(edges)
+        if teleport is not None:
+            total_w = teleport.agg(F.sum("weight").alias("s")).first()["s"]
+            if not total_w or total_w <= 0:
+                raise ValueError("teleport weights must sum to > 0")
+            tele = teleport.select(
+                "id", (F.col("weight") / total_w).alias("tele")
+            )
+            base = vertices.join(tele, "id", "left").select(
+                "id", F.coalesce("tele", F.lit(0.0)).alias("tele")
+            )
+        else:
+            base = vertices.select(
+                "id", F.lit(1.0 / n).alias("tele")
+            )
         ranks = (
-            vertices.join(deg, on="id", how="left")
+            base.join(deg, on="id", how="left")
             .select(
                 "id",
-                F.lit(1.0 / n).alias("rank"),
+                F.col("tele").alias("rank"),  # init p = v (uniform: 1/N,
+                # pagerank_mpi.c:44-54)
+                F.col("tele"),
                 F.col("out_deg").isNull().alias("dangling"),
             )
             .repartition(num_parts, "id")
@@ -244,7 +268,7 @@ def pagerank(
         # the aggregation exchange — aligns with ranks hash(id,P)
         new_ranks = (
             ranks.select(
-                "id", "dangling", F.col("rank").alias("old_rank")
+                "id", "dangling", "tele", F.col("rank").alias("old_rank")
             )
             .join(
                 contribs.hint("shuffle_hash"),
@@ -254,14 +278,15 @@ def pagerank(
             .select(
                 "id",
                 "dangling",
+                "tele",
                 "old_rank",
                 (
                     d
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.lit(dangling_sum / n)
+                        + F.lit(dangling_sum) * F.col("tele")
                     )
-                    + F.lit((1.0 - d) / n)
+                    + F.lit(1.0 - d) * F.col("tele")
                 ).alias("rank"),
             )
         )
@@ -281,7 +306,7 @@ def pagerank(
             {"iteration": it, "l1": l1, "max_err": max_err, "wall_ms": wall_ms}
         )
         old = ranks
-        ranks = new_ranks.select("id", "rank", "dangling")
+        ranks = new_ranks.select("id", "rank", "dangling", "tele")
         # stop when L1 < threshold, checked after the update
         # (pagerank_mpi.c:220-226; L1 is the operative criterion)
         if l1 < cfg.tol:

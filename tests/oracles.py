@@ -18,6 +18,7 @@ def pagerank_oracle(
     d: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 10_000,
+    teleport: np.ndarray | None = None,
 ) -> tuple[np.ndarray, int, list[dict]]:
     """Dense power-iteration PageRank matching /root/reference/pagerank_mpi/
     pagerank_mpi.c:132-231 (Distributed_PageRank_csr) semantics:
@@ -40,7 +41,12 @@ def pagerank_oracle(
     out_deg = np.zeros(n, dtype=np.int64)
     for s, _t in edges:
         out_deg[s] += 1
-    p = np.full(n, 1.0 / n, dtype=np.float64)
+    if teleport is None:
+        v = np.full(n, 1.0 / n, dtype=np.float64)
+    else:
+        v = np.asarray(teleport, dtype=np.float64)
+        v = v / v.sum()
+    p = v.copy()
     metrics = []
     iters = 0
     for _ in range(max_iter):
@@ -48,7 +54,7 @@ def pagerank_oracle(
         contrib = np.zeros(n, dtype=np.float64)
         for s, t in edges:
             contrib[t] += p[s] / out_deg[s]
-        p_new = d * (contrib + dangling / n) + (1.0 - d) / n
+        p_new = d * (contrib + dangling * v) + (1.0 - d) * v
         delta = np.abs(p_new - p)
         l1 = float(delta.sum())
         max_err = float(delta.max())

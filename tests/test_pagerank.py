@@ -178,3 +178,35 @@ def test_vectorized_rejects_sparse_ids(spark):
     v = spark.createDataFrame([(0,)], "id long")  # N=1 < max_id
     with pytest.raises(ValueError, match="dense ids"):
         pagerank_vectorized(df, vertices=v)
+
+
+def test_personalized_teleport(spark):
+    """Personalized PageRank: the reference's declared-but-unused Node.e
+    per-vertex teleport field (pagerank_mpi.h:13) implemented properly;
+    uniform teleport must equal the standard result."""
+    from .oracles import pagerank_oracle as po
+
+    edges = SMALL_GRAPH
+    df = edges_df(spark, edges)
+    # seed all teleport mass at vertex 3
+    v = np.array([0.0, 0.0, 0.0, 1.0])
+    want, want_iters, _ = pagerank_oracle(edges, tol=1e-6, teleport=v)
+    tele_df = spark.createDataFrame(
+        [(3, 1.0)], "id long, weight double"
+    )
+    res = pagerank(df, config=PageRankConfig(tol=1e-6), teleport=tele_df)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    got_vec = np.array([got[i] for i in range(4)])
+    assert res.iterations == want_iters
+    assert np.allclose(got_vec, want, atol=1e-6)
+    # mass concentrates near the seed: vertex 3 outranks the uniform case
+    assert got[3] > 0.15
+    # explicit uniform teleport == default behavior
+    uni = spark.createDataFrame(
+        [(i, 1.0) for i in range(4)], "id long, weight double"
+    )
+    res_u = pagerank(df, config=PageRankConfig(tol=1e-6), teleport=uni)
+    std = pagerank(df, config=PageRankConfig(tol=1e-6))
+    a = {r["id"]: r["rank"] for r in res_u.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in std.ranks.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
