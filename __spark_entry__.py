@@ -493,11 +493,11 @@ WITH ordered AS (
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events)
 SELECT event_id, user_id,
-       sum(CASE WHEN prev_ts IS NULL
-                  OR date_diff('second', prev_ts, ts) > 1800
-                THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS session_idx
+       (sum(CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
 FROM ordered
 """,
         "session_stats": """
@@ -507,11 +507,11 @@ WITH ordered AS (
   FROM events),
 sess AS (
   SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ep,
-         sum(CASE WHEN prev_ts IS NULL
-                    OR date_diff('second', prev_ts, ts) > 1800
-                  THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_idx
+         (sum(CASE WHEN prev_ts IS NULL
+                     OR date_diff('second', prev_ts, ts) > 1800
+                   THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
   FROM ordered)
 SELECT user_id, session_idx, count(*) AS n_events,
        max(ep) - min(ep) AS duration_sec

@@ -24,6 +24,20 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql import types as T
 from pyspark.sql.types import LongType
+from pyspark.storagelevel import StorageLevel
+
+
+def _persist_materialized(df: DataFrame) -> DataFrame:
+    """Persist + materialize an expensive intermediate that is about to be
+    referenced on BOTH sides of a self-join. The eager count() matters:
+    the two join-side scan stages are independent and can be scheduled
+    concurrently, in which case both would miss a cold cache and recompute
+    the expensive stage (the signature UDF) twice. Cleanup is left to
+    Spark's ContextCleaner (unpersists when the plan is GC'd) / LRU
+    eviction, since the caller consumes the result lazily."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    return df
 
 # Mersenne prime 2^31 - 1: universal-hash modulus; all arithmetic stays
 # < 2^62 so ANSI mode never overflows
@@ -190,6 +204,10 @@ def minhash_lsh_candidates(
                 seed,
             ).alias("sig"),
         )
+    # the signature UDF is the single most expensive stage of the whole
+    # near-dup pipeline — cache it so the bucket self-join below reads the
+    # signatures instead of recomputing them for each side
+    sig = _persist_materialized(sig)
     band_entries = sig.select(
         "id",
         "sig",
@@ -253,9 +271,12 @@ def minhash_lsh_dedup(
     candidates only: ``(id_a, id_b, jaccard)`` with jaccard >= threshold."""
     cands = minhash_lsh_candidates(docs, id_col, text_col, **lsh_kw)
     shingle_n = lsh_kw.get("shingle_n", 5)
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_n).alias("sh"),
+    # shingles feed both sides of the verification join — derive them once
+    sh = _persist_materialized(
+        docs.select(
+            F.col(id_col).alias("id"),
+            char_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -322,7 +343,8 @@ def simhash_near_dups(
     at least one block → join per block bucket, verify distance exactly
     (Manku et al. WWW'07 pattern). Never all-pairs."""
     assert max_hamming < blocks
-    sh = simhash(docs, id_col, text_col)
+    # cache fingerprints: the block-bucket self-join references them twice
+    sh = _persist_materialized(simhash(docs, id_col, text_col))
     width = 64 // blocks
     entries = sh.select(
         "id",

@@ -124,10 +124,15 @@ def language_id(text_col: str = "text") -> Column:
     """n-gram/stopword-marker language guess over LANG_MARKERS: count marker
     hits per language on the lowercased, space-padded text; argmax with
     deterministic tie-break (marker count desc, then language code asc);
-    'und' (undetermined) when nothing matches."""
-    padded = F.concat(
-        F.lit(" "), F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(" ")
+    'und' (undetermined) when nothing matches.
+
+    Counts run over whitespace-NORMALIZED text (trim + collapse runs to a
+    single space) so a marker word adjacent to a tab/newline still counts —
+    the same normalization the DuckDB oracle applies."""
+    normalized = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
     )
+    padded = F.concat(F.lit(" "), normalized, F.lit(" "))
     scores = [
         (
             lang,

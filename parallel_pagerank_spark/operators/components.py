@@ -164,22 +164,22 @@ def large_star_small_star(
     while steps < max_iter:
         # large-star: for every node u over its FULL neighborhood, attach
         # each strictly-larger neighbor v to m = min(neighborhood ∪ {u})
+        # NO neighborhood arrays anywhere: a 10^8-degree hub must never
+        # become one multi-GB collect_set row. Both stars are expressed as
+        # (flat edge set) ⋈ (per-vertex min) — every row stays O(1).
         sym = pairs.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")
         ).unionByName(
             pairs.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         )
-        grouped = sym.groupBy("u").agg(
-            F.min("v").alias("minv"), F.collect_set("v").alias("nbrs")
+        m_of_u = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("minv"))
+            .select("u", F.least("u", "minv").alias("m"))
         )
         ls = (
-            grouped.select(
-                "u",
-                F.least(F.col("u"), F.col("minv")).alias("m"),
-                F.explode(
-                    F.filter("nbrs", lambda v: v > F.col("u"))
-                ).alias("v"),
-            )
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_of_u, "u")
             # v > u >= m ⇒ orientation (hi=v, lo=m); drop self-pairs
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
@@ -188,18 +188,14 @@ def large_star_small_star(
         # small-star: for every node u over its strictly-smaller neighbors N
         # (edges are (hi, lo)-oriented, so N = lo-set grouped by hi), attach
         # u and all of N to m = min(N)
-        grouped2 = ls.groupBy("hi").agg(
-            F.min("lo").alias("m"), F.collect_set("lo").alias("nbrs")
-        )
-        ss = grouped2.select(
-            "hi",
-            "m",
-            F.explode(
-                F.array_append(
-                    F.filter("nbrs", lambda v: v != F.col("m")),
-                    F.col("hi"),
-                )
-            ).alias("v"),
+        m_of_hi = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ss = (
+            ls.join(m_of_hi, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("v"), "m")
+            .unionByName(
+                m_of_hi.select(F.col("hi").alias("v"), "m")
+            )
         ).select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         new_pairs = (
             ss.filter(F.col("hi") != F.col("lo"))

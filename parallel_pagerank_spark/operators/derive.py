@@ -18,9 +18,10 @@ Vertex-id assignment:
   64-bit birthday bound, acceptable up to ~10^8 turns per graph; use dense
   mode beyond that or when the dense 0..N-1 id space is required.
 - ``id_mode="dense"`` — deterministic dense ids 0..N-1 in ``(conv_id,
-  turn_idx)`` order: per-conversation offsets via a cumulative sum over the
-  (much smaller) per-conversation turn counts, then offset + local
-  row_number. The only global window runs over one row per conversation.
+  turn_idx)`` order: per-conversation offsets via a two-level prefix sum
+  over the (much smaller) per-conversation turn counts — range-partitioned
+  local cumsums plus driver-collected per-partition bases (P rows) — then
+  offset + local row_number. NO single-partition window anywhere.
 
 Invariant (input_hint): per-turn ``text`` equality under stable ordering —
 derivation never mutates, drops, or reorders the transcript rows; tests
@@ -41,18 +42,48 @@ def turn_vertices(transcripts: DataFrame, id_mode: str = "hash") -> DataFrame:
             "turn_idx",
         )
     if id_mode == "dense":
+        # Two-level prefix sum, NO single-partition window: per-conv turn
+        # counts are range-partitioned on conv_id (range partitions are
+        # contiguous and ordered, so global conv order = (partition order,
+        # within-partition order)); each partition computes its local
+        # cumulative sum in parallel, and the P per-partition bases are
+        # collected driver-side (P rows — bounded by the partition count,
+        # not the data) and broadcast back. The resulting ids are
+        # independent of where the sampled range boundaries fall.
+        from pyspark.storagelevel import StorageLevel
+
+        spark = transcripts.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         counts = transcripts.groupBy("conv_id").agg(
             F.count("*").alias("n_turns")
         )
-        off_w = (
-            Window.orderBy("conv_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
+        # persist to pin the sampled range boundaries: pid must be
+        # identical between the bases action and the offsets computation
+        bucketed = (
+            counts.repartitionByRange(nparts, "conv_id")
+            .withColumn("pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        offsets = counts.select(
+        totals = {
+            r["pid"]: r["t"]
+            for r in bucketed.groupBy("pid")
+            .agg(F.sum("n_turns").alias("t"))
+            .collect()
+        }
+        bases, acc = [], 0
+        for pid in sorted(totals):
+            bases.append((pid, acc))
+            acc += int(totals[pid])
+        base_df = spark.createDataFrame(bases or [(0, 0)], "pid int, base long")
+        in_part_w = Window.partitionBy("pid").orderBy(
+            "conv_id"
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = bucketed.join(F.broadcast(base_df), "pid").select(
             "conv_id",
-            F.coalesce(F.sum("n_turns").over(off_w), F.lit(0)).alias(
-                "offset"
-            ),
+            (
+                F.col("base")
+                + F.coalesce(F.sum("n_turns").over(in_part_w), F.lit(0))
+            ).alias("offset"),
         )
         local_w = Window.partitionBy("conv_id").orderBy("turn_idx")
         return (

@@ -71,6 +71,18 @@ def pagerank_vectorized(
             f"got max_id={max_id} for N={n}. Use id_mode='dense' or the "
             "DataFrame pagerank()."
         )
+    # the VERTEX set must be dense too: an explicit sparse vertex set whose
+    # ids exceed N (but whose edges only touch low ids) would otherwise pass
+    # the edge check and get ranks silently relabeled 0..N-1
+    vbounds = vertices.agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    ).first()
+    if vbounds["lo"] != 0 or vbounds["hi"] != n - 1:
+        raise ValueError(
+            "pagerank_vectorized requires dense vertex ids 0..N-1; got "
+            f"min={vbounds['lo']}, max={vbounds['hi']} for N={n}. Use "
+            "id_mode='dense' or the DataFrame pagerank()."
+        )
 
     # iteration-invariant: weighted edges partitioned by OWNER (dst)
     deg = out_degrees(edges)

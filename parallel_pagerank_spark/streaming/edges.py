@@ -77,7 +77,11 @@ def _reply_state_fn(
         if last_id is not None and turn == last_turn + 1:
             src.append(int(last_id))
             dst.append(int(vid))
-        last_turn, last_id = turn, int(vid)
+        # only advance past the max-seen turn: a late (out-of-order) turn is
+        # skipped without regressing the chain head, so the NEXT in-order
+        # turn still links correctly
+        if last_turn is None or turn > last_turn:
+            last_turn, last_id = turn, int(vid)
     state.update((last_turn, last_id))
     yield pd.DataFrame({"src": pd.Series(src, dtype="int64"),
                         "dst": pd.Series(dst, dtype="int64")})

@@ -109,6 +109,58 @@ def test_no_row_at_a_time_python_udfs_anywhere():
         assert "@udf" not in text, py
 
 
+def test_lsh_selfjoin_reads_cached_signatures(spark):
+    """The MinHash signature UDF is the most expensive stage of near-dup —
+    both sides of the LSH band self-join must read the persisted signature
+    cache (InMemoryTableScan twice), never recompute the UDF per side."""
+    from parallel_pagerank_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_lsh_candidates(docs, num_hashes=16, bands=4))
+    # both join sides scan the cache (before the fix: zero InMemoryTableScan
+    # and the ArrowEvalPython signature stage planned once PER side)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # the only Python eval sits under the cached relation, above no scan
+    tree = plan.split("\n(1)")[0]
+    assert tree.index("InMemoryTableScan") < tree.index("ArrowEvalPython"), plan
+
+
+def test_simhash_selfjoin_reads_cached_fingerprints(spark):
+    """Same regression for the simhash block-bucket self-join."""
+    from parallel_pagerank_spark.functions.dedup import simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = _plan(simhash_near_dups(docs))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    tree = plan.split("\n(1)")[0]
+    assert tree.index("InMemoryTableScan") < tree.index("ArrowEvalPython"), plan
+
+
+def test_dense_id_derivation_no_single_partition_exchange(spark):
+    """Dense-id assignment must never funnel data through a one-partition
+    window (Exchange SinglePartition): offsets come from range-partitioned
+    local cumsums + broadcast per-partition bases."""
+    from parallel_pagerank_spark.operators.derive import turn_vertices
+
+    rows = [(f"c{i % 5}", j, "user", "hi", None, None) for i in range(5)
+            for j in range(4)]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    plan = _plan(turn_vertices(tr, id_mode="dense"))
+    assert "SinglePartition" not in plan, plan
+
+
 def test_topk_plans_take_ordered(spark):
     """top_k_ranks must plan TakeOrderedAndProject (true distributed
     top-k), not a global sort."""
