@@ -7,10 +7,17 @@ value-hash → CORRECTNESS_r{N}.json).
 
 Graph queries run over the events table (transcript-shaped, TESTDATA.md §5):
 vertex = event_id; reply links = consecutive events per user (ts, event_id
-order); handoff links = consecutive events sharing event_type. The
-iterative operators (PageRank / CC / LPA) are not single-SQL-expressible —
-they are registered rows-only here and verified against NumPy oracles in
-tests/ instead.
+order); handoff links = consecutive events sharing event_type.
+
+Iterative operators get ORACLES too: connected components via unrolled
+hook+compress (Shiloach-Vishkin-style) min-label rounds, label propagation
+via 5 unrolled synchronous steps, fixed-iteration PageRank via a fully
+unrolled 20-step power iteration — all as MATERIALIZED CTE chains (DuckDB
+inlines plain CTEs, which would blow up exponentially). Only genuinely
+inexpressible queries stay rows-only: convergence-driven pagerank_top20
+(data-dependent iteration count) and the pd.util.hash_array-based
+minhash/simhash/knn_lsh (no DuckDB equivalent of pandas' string hash);
+those are verified against NumPy oracles in tests/ instead.
 """
 
 from __future__ import annotations
@@ -236,8 +243,83 @@ def _q_knn_bruteforce(spark, sf_dir):
     )
 
 
-# rows-only (iterative / hash-based — no single-SQL equivalent; verified
-# against NumPy oracles in tests/)
+def _q_pagerank_fixed20(spark, sf_dir):
+    """Fixed-iteration PageRank (20 power iterations, no early stop) —
+    fully SQL-expressible, so this one DOES get a DuckDB oracle (unrolled
+    20-iteration power iteration). Ranks rounded to 9 decimals to absorb
+    summation-order float noise between engines."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir))
+    res = pagerank(edges, config=PageRankConfig(tol=0.0, max_iter=20))
+    return (
+        res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _q_clustering_coefficient(spark, sf_dir):
+    from parallel_pagerank_spark.operators.stats import (
+        clustering_coefficient,
+    )
+    from parallel_pagerank_spark.sources.events import cooccurrence_edges
+
+    cc = clustering_coefficient(
+        cooccurrence_edges(_events(spark, sf_dir), window=2)
+    )
+    return cc.select(
+        "id",
+        "triangles",
+        "degree",
+        F.round("coefficient", 6).alias("coefficient"),
+    )
+
+
+def _q_isolated_count(spark, sf_dir):
+    from parallel_pagerank_spark.operators.stats import isolated_vertices
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return isolated_vertices(
+        event_graph_edges(_events(spark, sf_dir))
+    ).agg(F.count("*").alias("isolated_count"))
+
+
+def _q_scale_free(spark, sf_dir):
+    from parallel_pagerank_spark.operators.stats import scale_free_heuristic
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return scale_free_heuristic(
+        event_graph_edges(_events(spark, sf_dir))
+    ).select(
+        "max_degree",
+        F.round("avg_degree", 9).alias("avg_degree"),
+        "near_max_hubs",
+        "looks_scale_free",
+    )
+
+
+def _q_doc_quality_score(spark, sf_dir):
+    from parallel_pagerank_spark.functions.text import quality_score
+
+    return _documents(spark, sf_dir).select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+# rows-only (convergence-driven / hash-based — no single-SQL equivalent;
+# verified against NumPy oracles in tests/):
+#   pagerank_top20     — stops at L1 < 1e-6, iteration count data-dependent
+#                        (the fixed-iteration variant pagerank_fixed20 IS
+#                        oracle-checked)
+#   minhash_near_dups, simhash — signatures built on pd.util.hash_array
+#                        (pandas' 64-bit string hash has no DuckDB
+#                        equivalent); accuracy gated in pytest vs exact
+#                        Jaccard / Hamming instead
+#   knn_lsh            — SRP bucket assignment depends on the same numpy
+#                        RNG projections; recall gated in pytest
 
 
 def _q_pagerank_top20(spark, sf_dir):
@@ -376,12 +458,216 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_degree": _q_neighbor_degree,
         "doc_shingles": _q_doc_shingles,
         "pagerank_top20": _q_pagerank_top20,
+        "pagerank_fixed20": _q_pagerank_fixed20,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
+        "clustering_coefficient": _q_clustering_coefficient,
+        "isolated_count": _q_isolated_count,
+        "scale_free_heuristic": _q_scale_free,
+        "doc_quality_score": _q_doc_quality_score,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "knn_lsh": _q_knn_lsh,
     }
+
+
+# ------------------------------------------------- iterative-algorithm oracles
+#
+# DuckDB 1.0 recursive CTEs cannot aggregate in the recursive term, and the
+# transitive-closure formulation is O(n^2) rows on a giant component — so the
+# iterative oracles are FIXED-ROUND unrolled CTE chains instead, generated
+# here. Correct-by-fixpoint: min-label hook steps only converge to the true
+# component labeling (constant per component at any hook fixpoint), so enough
+# rounds => exact; an insufficient round count shows up as a value mismatch,
+# never a silent wrong-match.
+
+# AS MATERIALIZED is load-bearing in the unrolled chains: DuckDB inlines
+# plain CTEs, so a 16-round chain would re-expand (and re-open the parquet
+# scan for) every upstream CTE per reference — O(3^rounds) plan blowup and
+# "too many open files". Materialization evaluates each step exactly once.
+_EDGES_MAT_CTE = """
+reply AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events) WHERE dst IS NOT NULL),
+handoff AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM events) WHERE dst IS NOT NULL),
+edges AS MATERIALIZED (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+"""
+
+_SYM_CTE = """
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM edges WHERE src <> dst
+  UNION
+  SELECT dst, src FROM edges WHERE src <> dst),
+params AS MATERIALIZED (
+  SELECT greatest(max(src), max(dst)) + 1 AS n FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params)
+"""
+
+
+def _cc_sql(rounds: int = 16) -> str:
+    """Min-label connected components: per round one 'hook' (take the min
+    label over the closed neighborhood) and two 'compress' pointer jumps
+    (label <- label of the vertex the label names) — the public
+    Shiloach-Vishkin / FastSV shape, giving geometric convergence instead
+    of O(diameter) plain propagation."""
+    parts = [f"WITH {_EDGES_MAT_CTE}, {_SYM_CTE}, l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)"]
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+h{k} AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM (
+    SELECT id, lbl FROM {prev}
+    UNION ALL
+    SELECT s.u AS id, l.lbl FROM sym s JOIN {prev} l ON l.id = s.v
+  ) GROUP BY id),
+c{k} AS MATERIALIZED (SELECT a.id, b.lbl FROM h{k} a JOIN h{k} b ON b.id = a.lbl),
+l{k} AS MATERIALIZED (SELECT a.id, b.lbl FROM c{k} a JOIN c{k} b ON b.id = a.lbl)""")
+        prev = f"l{k}"
+    parts.append(
+        f"\nSELECT lbl AS component, count(*) AS size FROM {prev} "
+        "GROUP BY lbl ORDER BY size DESC, component ASC"
+    )
+    return "".join(parts)
+
+
+def _lpa_sql(steps: int = 5) -> str:
+    """Synchronous label propagation, ``steps`` unrolled rounds: most
+    frequent neighbor label, ties to the MIN label, no-neighbor vertices
+    keep their own. Matches operators/labelprop.py's max_by((cnt, -label))
+    argmax exactly; running the oracle past the engine's convergence point
+    is harmless (fixpoints are stable)."""
+    parts = [f"WITH {_EDGES_MAT_CTE}, {_SYM_CTE}, l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+    prev = "l0"
+    for k in range(1, steps + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (SELECT s.u AS id, l.label, count(*) AS cnt
+         FROM sym s JOIN {prev} l ON l.id = s.v GROUP BY s.u, l.label),
+b{k} AS MATERIALIZED (SELECT id, label AS new_label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC)
+             AS rn
+    FROM f{k}) WHERE rn = 1),
+l{k} AS MATERIALIZED (SELECT v.id, coalesce(b.new_label, v.label) AS label
+         FROM {prev} v LEFT JOIN b{k} b ON b.id = v.id)""")
+        prev = f"l{k}"
+    parts.append(
+        f"\nSELECT label, count(*) AS size FROM {prev} "
+        "GROUP BY label ORDER BY size DESC, label ASC"
+    )
+    return "".join(parts)
+
+
+def _pagerank_fixed_sql(iters: int = 20) -> str:
+    """Unrolled power iteration mirroring operators/pagerank.py float-op
+    for float-op: w = 1.0/out_deg then rank*w (not rank/out_deg), damping
+    literals written as 0.85 and (1.0 - 0.85) so both engines parse the
+    same doubles, dangling mass S_{k-1} * (1.0/n) redistributed uniformly."""
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+params AS MATERIALIZED (SELECT greatest(max(src), max(dst)) + 1 AS n,
+                  1.0 / (greatest(max(src), max(dst)) + 1) AS inv_n
+           FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+p0 AS MATERIALIZED (SELECT v.id, (SELECT inv_n FROM params) AS rank FROM verts v),
+d0 AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
+       FROM p0 p LEFT JOIN deg g ON g.id = p.id WHERE g.id IS NULL)"""]
+    prev_p, prev_d = "p0", "d0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (SELECT e.dst AS id, sum(p.rank * (1.0 / g.out_deg)) AS contrib
+         FROM edges e
+         JOIN {prev_p} p ON p.id = e.src
+         JOIN deg g ON g.id = e.src
+         GROUP BY e.dst),
+p{k} AS MATERIALIZED (SELECT v.id,
+                0.85 * (coalesce(c.contrib, 0.0)
+                        + (SELECT ds FROM {prev_d})
+                          * (SELECT inv_n FROM params))
+                + (1.0 - 0.85) * (SELECT inv_n FROM params) AS rank
+         FROM {prev_p} v LEFT JOIN c{k} c ON c.id = v.id),
+d{k} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
+         FROM p{k} p LEFT JOIN deg g ON g.id = p.id WHERE g.id IS NULL)""")
+        prev_p, prev_d = f"p{k}", f"d{k}"
+    parts.append(
+        f"\nSELECT id, round(rank, 9) AS rank FROM {prev_p} "
+        "ORDER BY rank DESC, id ASC LIMIT 20"
+    )
+    return "".join(parts)
+
+
+# canonical undirected simple edges of the window-2 cooccurrence graph —
+# shared by the triangle_count and clustering_coefficient oracles
+_COOC_CANON_CTE = """
+pos AS (
+  SELECT user_id, event_id AS id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+co AS (
+  SELECT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
+  FROM pos a JOIN pos b
+    ON a.user_id = b.user_id AND b.pos > a.pos AND b.pos - a.pos <= 2),
+canon AS (SELECT DISTINCT u, v FROM co WHERE u <> v)
+"""
+
+
+def _clustering_sql() -> str:
+    return f"""
+WITH {_COOC_CANON_CTE},
+deg AS (SELECT id, count(*) AS degree FROM (
+    SELECT u AS id FROM canon UNION ALL SELECT v FROM canon) GROUP BY id),
+tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM canon e1
+         JOIN canon e2 ON e2.u = e1.v
+         JOIN canon e3 ON e3.u = e1.u AND e3.v = e2.v),
+pvt AS (SELECT id, count(*) AS triangles FROM (
+    SELECT a AS id FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris) GROUP BY id)
+SELECT d.id,
+       coalesce(p.triangles, 0) AS triangles,
+       d.degree,
+       round(CASE WHEN d.degree >= 2
+                  THEN coalesce(p.triangles, 0)
+                       / (d.degree * (d.degree - 1) / 2.0)
+                  ELSE 0.0 END, 6) AS coefficient
+FROM deg d LEFT JOIN pvt p ON p.id = d.id
+"""
+
+
+def _quality_score_sql() -> str:
+    pad = "(' ' || lower(t) || ' ')"
+    stop_sum = " + ".join(_occ_sql(pad, f" {w} ") for w in _STOPWORDS)
+    ntok = (
+        "CASE WHEN length(trim(t)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(t), '\\s+')) END"
+    )
+    return f"""
+SELECT doc_id,
+  round(greatest(0.0, least(1.0,
+    (CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 1.0 ELSE 0.5 END)
+    * (0.5 + least(stop * 2, 0.5))
+    * (1.0 - least(punct * 2, 0.5))
+    * (1.0 - least(digit * 2, 0.5))
+  )), 6) AS quality
+FROM (
+  SELECT doc_id,
+         ({stop_sum}) / greatest(n_tokens, 1.0) AS stop,
+         (length(t) - length(regexp_replace(t, '{_PUNCT_CLASS}', '', 'g')))
+           / n AS punct,
+         (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+           / n AS digit,
+         n / greatest(n_tokens, 1.0) AS mean_tok
+  FROM (
+    SELECT doc_id, t,
+           greatest(length(t), 1)::DOUBLE AS n,
+           ({ntok})::DOUBLE AS n_tokens
+    FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)))
+"""
 
 
 def _langid_sql() -> str:
@@ -487,6 +773,28 @@ SELECT doc_id,
 FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
 """,
         "doc_langid": _langid_sql(),
+        "doc_quality_score": _quality_score_sql(),
+        "connected_components": _cc_sql(),
+        "label_propagation": _lpa_sql(),
+        "pagerank_fixed20": _pagerank_fixed_sql(),
+        "clustering_coefficient": _clustering_sql(),
+        "isolated_count": (
+            f"WITH {_EDGES_CTE} "
+            "SELECT greatest(max(src), max(dst)) + 1 - ("
+            "SELECT count(*) FROM ("
+            "SELECT src AS id FROM edges UNION SELECT dst FROM edges)"
+            ") AS isolated_count FROM edges"
+        ),
+        "scale_free_heuristic": (
+            f"WITH {_EDGES_CTE}, "
+            "od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src), "
+            "s AS (SELECT max(out_deg) AS max_degree, "
+            "avg(out_deg) AS avg_degree FROM od) "
+            "SELECT max_degree, round(avg_degree, 9) AS avg_degree, "
+            "(SELECT count(*) FROM od, s WHERE od.out_deg > s.max_degree / 2) "
+            "AS near_max_hubs, "
+            "max_degree > avg_degree * 3 AS looks_scale_free FROM s"
+        ),
         "sessionize": """
 WITH ordered AS (
   SELECT event_id, user_id, ts,

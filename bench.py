@@ -153,8 +153,15 @@ def child_headline() -> None:
     queries: dict[str, float] = {}
     pr_stats: dict = {}
 
-    def q(name, fn):
-        queries[name], out = _timed(fn)
+    def q(name, fn, repeats=2):
+        # best-of-k: single-host timing noise (GC, shared-host scheduling)
+        # only ever ADDS time, so min is the cleanest per-query estimator
+        # and keeps round-over-round comparisons out of the noise floor
+        best, out = _timed(fn)
+        for _ in range(repeats - 1):
+            t, out = _timed(fn)
+            best = min(best, t)
+        queries[name] = best
         return out
 
     res = q(

@@ -17,11 +17,13 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """→ ``(event_id, user_id, session_idx)``: a new session starts when
-    the gap to the previous event of the same user exceeds
+    """→ ``(event_id, user_id, session_idx, *keep_cols)``: a new session
+    starts when the gap to the previous event of the same user exceeds
     ``gap_seconds``. session_idx is 1-based per user, assigned in the
-    stable (ts, event_id) order."""
+    stable (ts, event_id) order. ``keep_cols`` are carried through the
+    projection so downstream aggregations need no re-join."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     prev_ts = F.lag(ts_col).over(w)
     new_sess = (
@@ -38,6 +40,7 @@ def sessionize(
         id_col,
         user_col,
         F.sum(new_sess).over(run).alias("session_idx"),
+        *keep_cols,
     )
 
 
@@ -49,12 +52,18 @@ def session_stats(
     id_col: str = "event_id",
 ) -> DataFrame:
     """Per-session summary: ``(user_id, session_idx, n_events,
-    duration_sec)`` (epoch-second arithmetic — portable across engines)."""
-    sess = sessionize(events, gap_seconds, user_col, ts_col, id_col)
-    joined = events.select(
-        id_col, F.unix_timestamp(ts_col).alias("epoch")
-    ).join(sess, id_col)
-    return joined.groupBy(user_col, "session_idx").agg(
+    duration_sec)`` (epoch-second arithmetic — portable across engines).
+    The epoch column rides through sessionize's projection — one window
+    pipeline + one aggregation, no re-join against the input."""
+    sess = sessionize(
+        events.withColumn("epoch", F.unix_timestamp(ts_col)),
+        gap_seconds,
+        user_col,
+        ts_col,
+        id_col,
+        keep_cols=("epoch",),
+    )
+    return sess.groupBy(user_col, "session_idx").agg(
         F.count("*").alias("n_events"),
         (F.max("epoch") - F.min("epoch")).alias("duration_sec"),
     )

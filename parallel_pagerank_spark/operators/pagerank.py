@@ -48,6 +48,10 @@ class PageRankResult:
     iterations: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    # which execution path produced the result: "dataframe" (distributed
+    # superstep loop — the 100 TB scale path) or "vectorized" (Arrow/numpy
+    # fast path for rank vectors that fit driver memory)
+    mode: str = "dataframe"
 
 
 def _prepare_weighted_edges(
@@ -55,10 +59,17 @@ def _prepare_weighted_edges(
     num_partitions: int,
     salt_buckets: int,
     partition_key: str = "src",
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """edges ⋈ out_deg once (iteration-invariant — pagerank_mpi.c:179 computes
     row_ptr[j+1]-row_ptr[j] per edge per iteration; we fold it into a
     precomputed weight column w = 1/out_deg).
+
+    With ``weight_col`` set (WEIGHTED PageRank — extension beyond the
+    reference's uniform 1/out_deg split), each edge carries
+    w = weight / Σ weights(src): rank flows proportionally to edge weight.
+    Weights must be positive; a duplicated unweighted edge is exactly
+    equivalent to one edge of weight 2 (multi-edge semantics preserved).
 
     Hub-skew salting (north rule; the reference's contiguous ranges make
     hub skew WORSE — SURVEY.md §4.1): with salt_buckets = s > 0, vertices
@@ -68,16 +79,24 @@ def _prepare_weighted_edges(
     is replicated s× for hub ids only (a small broadcast-joined dimension).
     Returns (weighted edges with salt column, hub-id DataFrame or None).
     """
-    deg = out_degrees(edges)
+    aggs = [F.count("*").alias("out_deg")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("wsum"))
+    deg = edges.groupBy(F.col("src").alias("id")).agg(*aggs)
     w = edges.join(
         deg.withColumnRenamed("id", "src"), on="src", how="inner"
+    )
+    w_expr = (
+        (F.lit(1.0) / F.col("out_deg"))
+        if weight_col is None
+        else (F.col(weight_col).cast("double") / F.col("wsum"))
     )
     if salt_buckets <= 1:
         return (
             w.select(
                 "src",
                 "dst",
-                (F.lit(1.0) / F.col("out_deg")).alias("w"),
+                w_expr.alias("w"),
                 F.lit(0).alias("salt"),
             ).repartition(num_partitions, partition_key),
             None,
@@ -88,7 +107,7 @@ def _prepare_weighted_edges(
     salted = w.select(
         "src",
         "dst",
-        (F.lit(1.0) / F.col("out_deg")).alias("w"),
+        w_expr.alias("w"),
         F.when(
             F.col("out_deg") > hub_threshold,
             F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).cast("int"),
@@ -105,8 +124,13 @@ def pagerank(
     config: PageRankConfig | None = None,
     resume: bool = False,
     teleport: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Run PageRank over ``edges(src, dst)``.
+
+    weight_col: optional positive edge-weight column → WEIGHTED PageRank:
+    rank flows from src proportionally to weight/Σweights(src) instead of
+    uniformly 1/out_deg. A vertex is dangling iff it has no out-edges.
 
     vertices: optional explicit ``(id)`` DataFrame. Default reproduces the
     reference's dense-id rule (csr_graph.c:27): ids 0..max_id all exist.
@@ -127,12 +151,32 @@ def pagerank(
     )
     d = cfg.damping
 
+    default_dense_vertices = vertices is None
     if vertices is None:
         vertices = vertices_from_edges(edges)
     n = vertices.count()
     if n == 0:
         empty = spark.createDataFrame([], "id long, rank double")
         return PageRankResult(empty, 0, True, [])
+
+    # auto-route small dense-id graphs to the vectorized fast path: below
+    # ~10^6 vertices the superstep loop is pure scheduling overhead
+    # (~0.3-0.5 s/iteration regardless of data). Only when nothing requires
+    # the distributed machinery — default dense vertex rule, uniform
+    # teleport, unweighted, no checkpoint/resume/salting, mode "auto".
+    if (
+        default_dense_vertices
+        and cfg.spmv_mode == "auto"
+        and 0 < n <= cfg.fast_path_threshold
+        and teleport is None
+        and weight_col is None
+        and not resume
+        and cfg.checkpoint_dir is None
+        and cfg.salt_buckets == 0
+    ):
+        from .pagerank_fast import pagerank_vectorized
+
+        return pagerank_vectorized(edges, vertices=vertices, config=cfg)
 
     use_broadcast = cfg.spmv_mode == "broadcast" or (
         cfg.spmv_mode == "auto" and n <= cfg.broadcast_threshold
@@ -142,6 +186,7 @@ def pagerank(
         num_parts,
         0 if use_broadcast else cfg.salt_buckets,
         partition_key="dst" if use_broadcast else "src",
+        weight_col=weight_col,
     )
     edges_w = edges_w.persist(StorageLevel.MEMORY_AND_DISK)
     edges_w.count()  # materialize once

@@ -170,4 +170,4 @@ def pagerank_vectorized(
         {"id": np.arange(n, dtype=np.int64), "rank": p}
     )
     ranks = spark.createDataFrame(ranks_pdf)
-    return PageRankResult(ranks, it, converged, metrics)
+    return PageRankResult(ranks, it, converged, metrics, mode="vectorized")

@@ -67,15 +67,21 @@ def dangling_vertices(edges: DataFrame, vertices: DataFrame | None = None) -> Da
     )
 
 
-def isolated_count(edges: DataFrame, vertices: DataFrame | None = None) -> int:
-    """Degree-0 in both directions (dashboard/app.py:469-471)."""
+def isolated_vertices(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Vertices with degree 0 in both directions (dashboard/app.py:469-471)
+    as a DataFrame — two anti-joins, no collect."""
     if vertices is None:
         vertices = vertices_from_edges(edges)
-    return (
-        vertices.join(out_degrees(edges), "id", "left_anti")
-        .join(in_degrees(edges), "id", "left_anti")
-        .count()
+    return vertices.join(out_degrees(edges), "id", "left_anti").join(
+        in_degrees(edges), "id", "left_anti"
     )
+
+
+def isolated_count(edges: DataFrame, vertices: DataFrame | None = None) -> int:
+    """Degree-0 in both directions (dashboard/app.py:469-471)."""
+    return isolated_vertices(edges, vertices).count()
 
 
 def degree_histogram(edges: DataFrame, direction: str = "out") -> DataFrame:

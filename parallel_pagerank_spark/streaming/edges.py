@@ -106,6 +106,71 @@ def streaming_reply_edges(transcripts_stream: DataFrame) -> DataFrame:
     )
 
 
+_HANDOFF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType(), True),
+        T.StructField("last_conv", T.StringType(), True),
+        T.StructField("last_turn", T.IntegerType(), True),
+        T.StructField("last_id", T.LongType(), True),
+    ]
+)
+
+
+def _handoff_state_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "conv_id", "turn_idx"])
+    if state.exists:
+        last_ts, last_conv, last_turn, last_id = state.get
+        last_key = (last_ts, last_conv, last_turn)
+    else:
+        last_key, last_id = None, None
+    src, dst = [], []
+    for ts_us, conv, turn, vid in zip(
+        rows["ts_us"], rows["conv_id"], rows["turn_idx"], rows["id"]
+    ):
+        okey = (int(ts_us), str(conv), int(turn))
+        if last_key is not None and okey <= last_key:
+            # late arrival behind the chain head: skip without regressing
+            # state (mirrors the reply-link out-of-order contract)
+            continue
+        if last_id is not None:
+            src.append(int(last_id))
+            dst.append(int(vid))
+        last_key, last_id = okey, int(vid)
+    if last_key is not None:
+        state.update((last_key[0], last_key[1], last_key[2], last_id))
+    yield pd.DataFrame({"src": pd.Series(src, dtype="int64"),
+                        "dst": pd.Series(dst, dtype="int64")})
+
+
+def streaming_handoff_edges(transcripts_stream: DataFrame) -> DataFrame:
+    """Incremental tool-handoff derivation: per TOOL, chain every
+    consecutive tool-invoking turn in (ts, conv_id, turn_idx) order across
+    micro-batches — the streaming counterpart of batch
+    ``derive_edges(handoff_links=True)`` (operators/derive.py). State per
+    tool holds the chain head (ordering key + vertex id); contract: rows
+    arrive in (ts, conv_id, turn_idx) order per tool across batches, a late
+    row is skipped, never mis-linked."""
+    with_ids = transcripts_stream.filter(F.col("tool").isNotNull()).select(
+        "tool",
+        "conv_id",
+        "turn_idx",
+        F.unix_micros("ts").alias("ts_us"),
+        F.xxhash64("conv_id", "turn_idx").alias("id"),
+    )
+    return with_ids.groupBy("tool").applyInPandasWithState(
+        _handoff_state_fn,
+        outputStructType=EDGE_SCHEMA,
+        stateStructType=_HANDOFF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_turn_counts(
     transcripts_stream: DataFrame,
     window: str = "1 hour",

@@ -19,6 +19,7 @@ def pagerank_oracle(
     tol: float = 1e-6,
     max_iter: int = 10_000,
     teleport: np.ndarray | None = None,
+    weights: list[float] | None = None,
 ) -> tuple[np.ndarray, int, list[dict]]:
     """Dense power-iteration PageRank matching /root/reference/pagerank_mpi/
     pagerank_mpi.c:132-231 (Distributed_PageRank_csr) semantics:
@@ -33,14 +34,22 @@ def pagerank_oracle(
     - stop when L1 = sum|p'-p| < tol, checked after the update
       (pagerank_mpi.c:201-226); iteration count = number of updates done.
 
+    With ``weights`` (aligned with ``edges``), rank flows proportionally to
+    weight/Σweights(src) — weighted PageRank; a vertex is dangling iff it
+    has no out-edges.
+
     Returns (ranks, iterations, per-iteration metrics list).
     """
     if num_nodes is None:
         num_nodes = max(max(s, t) for s, t in edges) + 1 if edges else 1
     n = num_nodes
+    if weights is None:
+        weights = [1.0] * len(edges)
     out_deg = np.zeros(n, dtype=np.int64)
-    for s, _t in edges:
+    wsum = np.zeros(n, dtype=np.float64)
+    for (s, _t), wt in zip(edges, weights):
         out_deg[s] += 1
+        wsum[s] += wt
     if teleport is None:
         v = np.full(n, 1.0 / n, dtype=np.float64)
     else:
@@ -52,8 +61,8 @@ def pagerank_oracle(
     for _ in range(max_iter):
         dangling = p[out_deg == 0].sum()
         contrib = np.zeros(n, dtype=np.float64)
-        for s, t in edges:
-            contrib[t] += p[s] / out_deg[s]
+        for (s, t), wt in zip(edges, weights):
+            contrib[t] += p[s] * (wt / wsum[s])
         p_new = d * (contrib + dangling * v) + (1.0 - d) * v
         delta = np.abs(p_new - p)
         l1 = float(delta.sum())

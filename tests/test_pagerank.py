@@ -24,9 +24,14 @@ def run_both(spark, edges, num_nodes=None, tol=1e-6, **cfg_kw):
         if num_nodes is not None
         else None
     )
+    # fast_path_threshold=0: run_both exists to test the DISTRIBUTED
+    # DataFrame loop; the auto-routed fast path has its own parity tests
     res = pagerank(
-        df, vertices=vertices, config=PageRankConfig(tol=tol, **cfg_kw)
+        df,
+        vertices=vertices,
+        config=PageRankConfig(tol=tol, fast_path_threshold=0, **cfg_kw),
     )
+    assert res.mode == "dataframe"
     got = {r["id"]: r["rank"] for r in res.ranks.collect()}
     want = dict(enumerate(oracle_ranks))
     assert set(got) == set(want)
@@ -210,3 +215,86 @@ def test_personalized_teleport(spark):
     a = {r["id"]: r["rank"] for r in res_u.ranks.collect()}
     b = {r["id"]: r["rank"] for r in std.ranks.collect()}
     assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
+
+
+def test_weighted_edges_match_oracle(spark):
+    """weight_col parity: rank flows proportionally to weight/Σweights(src)."""
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 1), (3, 2)]
+    weights = [3.0, 1.0, 2.0, 5.0, 1.0, 1.0, 2.0]
+    want, oracle_iters, _ = pagerank_oracle(edges, weights=weights)
+    df = spark.createDataFrame(
+        [(s, t, w) for (s, t), w in zip(edges, weights)],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(df, config=PageRankConfig(), weight_col="weight")
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    got_vec = np.array([got[i] for i in sorted(got)])
+    assert res.iterations == oracle_iters
+    assert np.allclose(got_vec, want, atol=1e-6)
+    assert got_vec.sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_weighted_duplicate_edge_equivalence(spark):
+    """A duplicated unweighted edge == one edge of weight 2 — the multi-edge
+    semantics of csr_graph.c:19-23 expressed through weights."""
+    dup = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0)]
+    res_dup = pagerank(edges_df(spark, dup), config=PageRankConfig())
+    wdf = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    res_w = pagerank(wdf, config=PageRankConfig(), weight_col="weight")
+    got_dup = {r["id"]: r["rank"] for r in res_dup.ranks.collect()}
+    got_w = {r["id"]: r["rank"] for r in res_w.ranks.collect()}
+    assert set(got_dup) == set(got_w)
+    for i in got_dup:
+        assert got_dup[i] == pytest.approx(got_w[i], abs=1e-9)
+
+
+def test_weighted_shuffle_mode_matches(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0)]
+    weights = [1.0, 4.0, 1.0, 1.0, 2.0]
+    want, _, _ = pagerank_oracle(edges, weights=weights)
+    df = spark.createDataFrame(
+        [(s, t, w) for (s, t), w in zip(edges, weights)],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(
+        df,
+        config=PageRankConfig(spmv_mode="shuffle"),
+        weight_col="weight",
+    )
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    got_vec = np.array([got[i] for i in sorted(got)])
+    assert np.allclose(got_vec, want, atol=1e-6)
+
+
+def test_auto_fast_path_routing(spark):
+    """Small dense-id graphs auto-route to the vectorized fast path
+    (identical ranks/iterations); fast_path_threshold=0 opts out and any
+    distributed-only feature (salting, teleport, weights, checkpoints)
+    keeps the DataFrame loop."""
+    df = edges_df(spark, SMALL_GRAPH)
+    routed = pagerank(df, config=PageRankConfig())
+    assert routed.mode == "vectorized"
+    assert routed.iterations == 26
+    plain = pagerank(df, config=PageRankConfig(fast_path_threshold=0))
+    assert plain.mode == "dataframe"
+    a = {r["id"]: r["rank"] for r in routed.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in plain.ranks.collect()}
+    assert set(a) == set(b)
+    for i in a:
+        assert a[i] == pytest.approx(b[i], abs=1e-9)
+
+
+def test_vectorized_rejects_sparse_vertex_set(spark):
+    """An explicit sparse VERTEX set (ids exceed N) must be rejected even
+    when the edges only touch low ids."""
+    from parallel_pagerank_spark.operators.pagerank_fast import (
+        pagerank_vectorized,
+    )
+
+    df = edges_df(spark, [(0, 1)])
+    v = spark.createDataFrame([(0,), (1,), (5,)], "id long")
+    with pytest.raises(ValueError, match="dense vertex ids"):
+        pagerank_vectorized(df, vertices=v)

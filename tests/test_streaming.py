@@ -87,3 +87,99 @@ def test_streaming_resume_processes_new_files_only(spark, tmp_path):
     # resume from checkpoint: only the new turn is processed, linking 1→2
     # through the persisted per-conv state
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_handoff_matches_batch(spark, tmp_path):
+    """Cross-batch tool-handoff chaining: a time-prefix split (all of batch
+    A precedes batch B in ts) must reproduce the batch handoff edge set,
+    with the A→B boundary link carried through per-tool state."""
+    import glob
+    import os
+    import time
+
+    from parallel_pagerank_spark.streaming.edges import (
+        streaming_handoff_edges,
+    )
+
+    tr = synthetic_transcripts(spark, n_conversations=30, seed=11)
+    cutoff = "conv-000015"
+    in_dir = str(tmp_path / "in")
+    part_a = tr.filter(F.col("conv_id") < cutoff)
+    part_b = tr.filter(F.col("conv_id") >= cutoff)
+    part_a.coalesce(1).write.mode("append").parquet(in_dir)
+    first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+    part_b.coalesce(1).write.mode("append").parquet(in_dir)
+    now = time.time()
+    for f in first_files:
+        os.utime(f, (now - 60, now - 60))
+
+    stream = stream_transcripts(spark, in_dir, max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_stream_to_parquet(streaming_handoff_edges(stream), out, ck)
+
+    got = {
+        (r["src"], r["dst"]) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["src"], r["dst"])
+        for r in derive_edges(
+            tr, id_mode="hash", reply_links=False
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # at least one link must cross the batch boundary (chains span convs)
+    a_ids = {
+        r["id"]
+        for r in part_a.select(
+            F.xxhash64("conv_id", "turn_idx").alias("id")
+        ).collect()
+    }
+    assert any(s in a_ids and d not in a_ids for s, d in got)
+
+
+def test_streaming_out_of_order_turn_skipped(spark, tmp_path):
+    """A late (out-of-order) turn is dropped from linking without breaking
+    the links of subsequent in-order turns."""
+    import glob
+    import os
+    import time
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    batch1 = [("c", 0, "user", "a", None, None),
+              ("c", 1, "assistant", "b", None, None),
+              ("c", 3, "user", "d", None, None)]
+    spark.createDataFrame(batch1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    first_files = set(glob.glob(f"{in_dir}/*.parquet"))
+    # turn 2 arrives LATE (next micro-batch), then turn 4 in order
+    batch2 = [("c", 2, "assistant", "c", None, None),
+              ("c", 4, "assistant", "e", None, None)]
+    spark.createDataFrame(batch2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    now = time.time()
+    for f in first_files:
+        os.utime(f, (now - 60, now - 60))
+
+    run_stream_to_parquet(
+        streaming_reply_edges(
+            stream_transcripts(spark, in_dir, max_files_per_trigger=1)
+        ),
+        out,
+        ck,
+    )
+    ids = {
+        t: spark.createDataFrame([("c", t)], "conv_id string, turn_idx int")
+        .select(F.xxhash64("conv_id", "turn_idx").alias("id"))
+        .first()["id"]
+        for t in range(5)
+    }
+    got = {(r["src"], r["dst"]) for r in spark.read.parquet(out).collect()}
+    # 0→1 in batch 1; late turn 2 is skipped (state stays at turn 3), and
+    # the in-order 3→4 link still forms
+    assert got == {(ids[0], ids[1]), (ids[3], ids[4])}
