@@ -22,12 +22,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..plans.checkpoint import SuperstepCheckpointer
 from ..plans.iterate import SuperstepState
 from .graph import symmetrize, vertices_from_edges
+
+# vectorized fast path bounds: the label array is O(N) driver memory
+# (8 bytes/vertex → 400 MB at 5·10^7), edge arrays O(E)
+_FAST_MAX_NODES = 50_000_000
 
 
 @dataclass
@@ -36,6 +42,67 @@ class ComponentsResult:
     supersteps: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    # "dataframe" = distributed superstep loop (the scale path);
+    # "vectorized" = driver-side numpy hook+compress for graphs that fit
+    mode: str = "dataframe"
+
+
+def _route_fast(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    fast_path_edges: int,
+) -> int | None:
+    """Return N (=max_id+1) if the vectorized fast path applies, else
+    None. Applies only under the default dense-id vertex rule with E and N
+    below the in-memory bounds."""
+    if vertices is not None or fast_path_edges <= 0:
+        return None
+    row = edges.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("m"),
+        F.count("*").alias("e"),
+    ).first()
+    if row["m"] is None:
+        return None
+    n = int(row["m"]) + 1
+    if n <= _FAST_MAX_NODES and int(row["e"]) <= fast_path_edges:
+        return n
+    return None
+
+
+def _components_fast(edges: DataFrame, n: int) -> ComponentsResult:
+    """Driver-side min-label hook + double pointer-jump (numpy) — same
+    fixpoint (component = min vertex id) as the distributed loops, for
+    graphs whose edge list fits driver memory. O(E) per round, geometric
+    convergence; the per-round hook makes any fixpoint exact."""
+    spark = edges.sparkSession
+    pdf = edges.select("src", "dst").filter(
+        F.col("src") != F.col("dst")
+    ).toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    labels = np.arange(n, dtype=np.int64)
+    metrics: list[dict] = []
+    steps = 0
+    while True:
+        new = labels.copy()
+        # hook: pull the neighbor's label along both directions
+        np.minimum.at(new, dst, labels[src])
+        np.minimum.at(new, src, labels[dst])
+        # compress twice: label <- label of the vertex the label names
+        new = new[new]
+        new = new[new]
+        changed = int((new != labels).sum())
+        steps += 1
+        metrics.append({"superstep": steps, "changed": changed})
+        if changed == 0:
+            break
+        labels = new
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64), "component": labels}
+        )
+    )
+    return ComponentsResult(out, steps, True, metrics, mode="vectorized")
 
 
 def connected_components(
@@ -45,8 +112,18 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     num_partitions: int | None = None,
+    fast_path_edges: int = 10_000_000,
 ) -> ComponentsResult:
-    """Synchronous min-label propagation to fixpoint."""
+    """Synchronous min-label propagation to fixpoint.
+
+    Small dense-id graphs (E <= fast_path_edges under the default vertex
+    rule, no checkpointing) auto-route to the vectorized fast path — the
+    superstep loop below ~10^6 edges is pure per-iteration scheduling
+    overhead. fast_path_edges=0 opts out."""
+    if checkpoint_dir is None:
+        n_fast = _route_fast(edges, vertices, fast_path_edges)
+        if n_fast is not None:
+            return _components_fast(edges, n_fast)
     spark = edges.sparkSession
     num_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -128,9 +205,12 @@ def large_star_small_star(
     vertices: DataFrame | None = None,
     max_iter: int = 50,
     num_partitions: int | None = None,
+    fast_path_edges: int = 10_000_000,
 ) -> ComponentsResult:
     """Alternating large-star / small-star connected components
     (Kiveris et al. SoCC'14): O(log^2 n) rounds on any graph shape.
+    Small dense-id graphs auto-route to the shared vectorized fast path
+    (identical labeling); fast_path_edges=0 opts out.
 
     State is an edge set (u, v) meaning "u and v are in the same component".
     - large-star: for each u, connect every neighbor v > u to m = min
@@ -138,6 +218,9 @@ def large_star_small_star(
       (and u) to m. Fixpoint: every vertex points directly at its component
       min. Returns labels identical to min-label propagation.
     """
+    n_fast = _route_fast(edges, vertices, fast_path_edges)
+    if n_fast is not None:
+        return _components_fast(edges, n_fast)
     spark = edges.sparkSession
     num_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")

@@ -48,7 +48,7 @@ STAR = [(0, i) for i in range(1, 20)] + [(i, 0) for i in range(1, 20)]
 def test_connected_components(spark, edges, n):
     df = edges_df(spark, edges)
     want = connected_components_oracle(edges, n)
-    res = connected_components(df)
+    res = connected_components(df, fast_path_edges=0)
     got = {r["id"]: r["component"] for r in res.components.collect()}
     assert got == want
     assert res.converged
@@ -63,10 +63,11 @@ def test_connected_components(spark, edges, n):
 def test_large_star_small_star_matches(spark, edges, n):
     df = edges_df(spark, edges)
     want = connected_components_oracle(edges, n)
-    res = large_star_small_star(df)
+    res = large_star_small_star(df, fast_path_edges=0)
     got = {r["id"]: r["component"] for r in res.components.collect()}
     assert got == want
     assert res.converged
+    assert res.mode == "dataframe"
 
 
 def test_cc_long_path_lsss_faster(spark):
@@ -74,7 +75,7 @@ def test_cc_long_path_lsss_faster(spark):
     # large-star/small-star O(log^2 n)
     path = [(i, i + 1) for i in range(30)]
     df = edges_df(spark, path)
-    res = large_star_small_star(df)
+    res = large_star_small_star(df, fast_path_edges=0)
     got = {r["id"]: r["component"] for r in res.components.collect()}
     assert got == {i: 0 for i in range(31)}
     assert res.supersteps < 12
@@ -86,7 +87,7 @@ def test_cc_long_path_lsss_faster(spark):
 def test_label_propagation(spark, edges, n):
     df = edges_df(spark, edges)
     want = label_propagation_oracle(edges, n, max_iter=10)
-    res = label_propagation(df, max_iter=10)
+    res = label_propagation(df, max_iter=10, fast_path_edges=0)
     got = {r["id"]: r["label"] for r in res.labels.collect()}
     assert got == want
 
@@ -196,3 +197,32 @@ def test_metrics_sinks(tmp_path):
     assert _json.load(open(jp)) == m
     rows = open(cp).read().strip().splitlines()
     assert rows[0] == "iteration,l1" and len(rows) == 3
+
+
+@pytest.mark.parametrize(
+    "edges,n",
+    [(SMALL_GRAPH, 4), (TWO_COMPONENTS, 7), (RING, 10), (STAR, 20)],
+)
+def test_components_fast_path_parity(spark, edges, n):
+    """Auto-routed vectorized CC must produce the identical min-id
+    labeling as the union-find oracle and the distributed loop."""
+    df = edges_df(spark, edges)
+    res = connected_components(df)  # routes: small dense graph
+    assert res.mode == "vectorized"
+    assert res.converged
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == connected_components_oracle(edges, n)
+    # same routing from the large-star/small-star entry point
+    res2 = large_star_small_star(df)
+    assert res2.mode == "vectorized"
+
+
+@pytest.mark.parametrize(
+    "edges,n", [(SMALL_GRAPH, 4), (TWO_COMPONENTS, 7), (STAR, 20)]
+)
+def test_label_propagation_fast_path_parity(spark, edges, n):
+    df = edges_df(spark, edges)
+    res = label_propagation(df, max_iter=10)  # routes
+    assert res.mode == "vectorized"
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == label_propagation_oracle(edges, n, max_iter=10)
