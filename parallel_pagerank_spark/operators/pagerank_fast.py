@@ -43,10 +43,58 @@ from .graph import out_degrees, vertices_from_edges
 from .pagerank import PageRankResult
 
 
+def _pagerank_numpy(
+    edges: DataFrame, n: int, cfg: PageRankConfig
+) -> PageRankResult:
+    """Tier-2 fast path: BOTH the rank vector and the edge list fit driver
+    memory — one Arrow collect of the edges, then the whole power
+    iteration in numpy (np.bincount SpMV), zero Spark jobs per iteration.
+    Same arithmetic as the distributed loop (w = 1/out_deg precomputed,
+    p' = d·(contrib + S/N) + (1−d)/N, L1 stop after update)."""
+    spark = edges.sparkSession
+    pdf = edges.select("src", "dst").toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    d = cfg.damping
+    out_deg = np.bincount(src, minlength=n)
+    dangling_mask = out_deg == 0
+    w = 1.0 / out_deg[src] if len(src) else np.zeros(0)
+    p = np.full(n, 1.0 / n, dtype=np.float64)
+    metrics: list[dict] = []
+    converged = False
+    it = 0
+    while it < cfg.max_iter:
+        t0 = time.monotonic()
+        dangling_sum = float(p[dangling_mask].sum())
+        contrib = np.bincount(dst, weights=p[src] * w, minlength=n)
+        p_new = d * (contrib + dangling_sum / n) + (1.0 - d) / n
+        delta = np.abs(p_new - p)
+        l1 = float(delta.sum())
+        max_err = float(delta.max())
+        p = p_new
+        it += 1
+        metrics.append(
+            {
+                "iteration": it,
+                "l1": l1,
+                "max_err": max_err,
+                "wall_ms": (time.monotonic() - t0) * 1000.0,
+            }
+        )
+        if l1 < cfg.tol:
+            converged = True
+            break
+    ranks = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype=np.int64), "rank": p})
+    )
+    return PageRankResult(ranks, it, converged, metrics, mode="vectorized")
+
+
 def pagerank_vectorized(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     config: PageRankConfig | None = None,
+    driver_edge_threshold: int = 5_000_000,
 ) -> PageRankResult:
     cfg = config or PageRankConfig()
     spark = edges.sparkSession
@@ -83,6 +131,12 @@ def pagerank_vectorized(
             f"min={vbounds['lo']}, max={vbounds['hi']} for N={n}. Use "
             "id_mode='dense' or the DataFrame pagerank()."
         )
+
+    if (
+        driver_edge_threshold > 0
+        and edges.count() <= driver_edge_threshold
+    ):
+        return _pagerank_numpy(edges, n, cfg)
 
     # iteration-invariant: weighted edges partitioned by OWNER (dst)
     deg = out_degrees(edges)

@@ -167,11 +167,18 @@ def test_vectorized_fast_path_parity(spark):
     ]:
         oracle_ranks, oracle_iters, _ = pagerank_oracle(edges, tol=1e-6)
         df = edges_df(spark, edges)
-        res = pagerank_vectorized(df, config=PageRankConfig(tol=1e-6))
-        assert res.iterations == oracle_iters
-        got = {r["id"]: r["rank"] for r in res.ranks.collect()}
-        got_vec = np.array([got[i] for i in sorted(got)])
-        assert np.allclose(got_vec, oracle_ranks, atol=1e-6)
+        # both tiers: full-driver numpy loop (default here: edges fit) and
+        # the distributed-edges mapInPandas SpMV (threshold 0 forces it)
+        for thresh in (5_000_000, 0):
+            res = pagerank_vectorized(
+                df,
+                config=PageRankConfig(tol=1e-6),
+                driver_edge_threshold=thresh,
+            )
+            assert res.iterations == oracle_iters
+            got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+            got_vec = np.array([got[i] for i in sorted(got)])
+            assert np.allclose(got_vec, oracle_ranks, atol=1e-6)
 
 
 def test_vectorized_rejects_sparse_ids(spark):
