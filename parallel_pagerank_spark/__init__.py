@@ -10,4 +10,4 @@ from .config import EngineConfig, PageRankConfig
 from .session import get_spark
 
 __all__ = ["EngineConfig", "PageRankConfig", "get_spark"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
