@@ -301,6 +301,27 @@ def _q_scale_free(spark, sf_dir):
     )
 
 
+def _q_emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup via the LSH scale path: identical vectors
+    collide in every SRP table, so on this data (natural max cosine ~0.5,
+    injected exact copies at 1.0) LSH output == exact all-pairs — letting
+    the scale path itself be checked against the brute-force SQL oracle."""
+    from parallel_pagerank_spark.functions.dedup import embedding_near_dups
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    dup = (
+        emb.orderBy("vec_id")
+        .limit(30)
+        .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_near_dups(
+        emb.unionByName(dup), threshold=0.9, method="lsh"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def _q_doc_quality_score(spark, sf_dir):
     from parallel_pagerank_spark.functions.text import quality_score
 
@@ -465,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isolated_count": _q_isolated_count,
         "scale_free_heuristic": _q_scale_free,
         "doc_quality_score": _q_doc_quality_score,
+        "emb_near_dups": _q_emb_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "knn_lsh": _q_knn_lsh,
@@ -774,6 +796,20 @@ FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
 """,
         "doc_langid": _langid_sql(),
         "doc_quality_score": _quality_score_sql(),
+        "emb_near_dups": """
+WITH aug AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM (
+    SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 30)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM aug a JOIN aug b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.9
+""",
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "pagerank_fixed20": _pagerank_fixed_sql(),

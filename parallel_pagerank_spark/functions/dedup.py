@@ -379,6 +379,82 @@ def simhash_near_dups(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    dim: int | None = None,
+    nbits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a < id_b, cosine)`` with
+    cosine >= threshold.
+
+    method="lsh" (scale path): SRP bucket candidates (signatures persisted
+    before the self-join) → exact cosine verification of candidates only;
+    a pair of IDENTICAL vectors collides in every table, so recall is 1.0
+    for exact copies and grows with n_tables for near-copies.
+    method="bruteforce": exact all-pairs — the documented small-N baseline
+    and the oracle-checkable form."""
+    from .similarity import _dot, _norm, srp_signatures
+
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    if method == "bruteforce":
+        a = base.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        b = base.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        joined = a.join(b, F.col("id_b") > F.col("id_a"))
+    elif method == "lsh":
+        if dim is None:
+            dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+        sig = _persist_materialized(
+            srp_signatures(
+                emb, dim, nbits, n_tables, id_col, vec_col, seed
+            )
+        )
+        cand = (
+            sig.select(F.col("id").alias("id_a"), "bucket")
+            .join(sig.select(F.col("id").alias("id_b"), "bucket"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        a = base.select(
+            F.col("id").alias("id_a"),
+            F.col("vec").alias("vec_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        b = base.select(
+            F.col("id").alias("id_b"),
+            F.col("vec").alias("vec_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        joined = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        raise ValueError(f"unknown method: {method}")
+    cosine = _dot(F.col("vec_a"), F.col("vec_b")) / F.greatest(
+        F.col("nrm_a") * F.col("nrm_b"), F.lit(1e-12)
+    )
+    return (
+        joined.select("id_a", "id_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     pairs: DataFrame,

@@ -44,6 +44,36 @@ def sessionize(
     )
 
 
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Spark-NATIVE session windows (``F.session_window``): one
+    aggregation, no window-function sort pipeline — and the identical
+    code path works on a STREAMING DataFrame (add ``withWatermark`` and
+    closed sessions emit in append mode as the watermark passes them).
+    → ``(user_id, session_start, session_end, n_events)``.
+
+    Boundary semantics: session_window merges an event while the gap to
+    the session end is STRICTLY less than ``gap``; ``sessionize`` starts a
+    new session when the gap EXCEEDS gap_seconds — they differ only for
+    events at exactly the gap boundary."""
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap), F.col(user_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            user_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def session_stats(
     events: DataFrame,
     gap_seconds: int = 1800,

@@ -409,3 +409,133 @@ def test_multimodal_unsupported_codec_raises(spark):
     media = synthetic_media(spark, n_rows=6, real_payloads=False)
     with pytest.raises(Exception, match="not a BMP|NotImplemented|codec"):
         image_features(media, decoder="real").collect()
+
+
+def test_embedding_near_dups(spark):
+    """LSH scale path finds exact-copy pairs with recall 1.0 and matches
+    brute force; perturbed near-dups are found with high recall."""
+    import numpy as np
+
+    from parallel_pagerank_spark.functions.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # ids 100..109: exact copies of 0..9 → cosine 1.0
+    rows += [(100 + i, base[i].tolist()) for i in range(10)]
+    # ids 200..209: small perturbations of 10..19 → cosine ~0.995
+    pert = base[10:20] + 0.1 * rng.standard_normal((10, 32)).astype(
+        np.float32
+    )
+    rows += [(200 + i, pert[i].tolist()) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, threshold=0.9, method="bruteforce"
+        ).collect()
+    }
+    assert {(i, 100 + i) for i in range(10)} <= want
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, threshold=0.9, method="lsh", n_tables=8, nbits=8
+        ).collect()
+    }
+    # exact copies: recall 1.0 (identical vectors collide in every table)
+    assert {(i, 100 + i) for i in range(10)} <= got
+    # overall recall gate incl. perturbed pairs; no false positives
+    # (candidates are exact-verified)
+    assert got <= want
+    assert len(got) >= 0.8 * len(want)
+
+
+def test_session_window_stats_matches_sessionize(spark):
+    """The native session_window grouping and the lag/cumsum sessionize
+    agree on session count and event multiset per user (away from the
+    exact-gap boundary)."""
+    import datetime as dt
+
+    from parallel_pagerank_spark.functions.sessions import (
+        session_stats,
+        session_window_stats,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for user in ("a", "b"):
+        offs = [0, 60, 120, 5000, 5100, 12000] if user == "a" else [
+            0, 2000, 9000, 9600,
+        ]
+        for o in offs:
+            rows.append((eid, user, base + dt.timedelta(seconds=o)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp"
+    )
+    native = session_window_stats(ev, gap="30 minutes").collect()
+    lagged = session_stats(ev, gap_seconds=1800).collect()
+    nat = sorted(
+        (r["user_id"], r["n_events"]) for r in native
+    )
+    lag = sorted((r["user_id"], r["n_events"]) for r in lagged)
+    assert nat == lag
+    # a: [0,60,120] [5000,5100] [12000]; b: [0] [2000] [9000,9600]
+    # (0→2000 is a 2000 s gap > 1800 → separate sessions)
+    assert nat == [
+        ("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 1), ("b", 2),
+    ]
+
+
+def test_session_window_streaming(spark, tmp_path):
+    """The SAME session_window aggregation runs as a streaming query:
+    sessions closed by the advancing watermark emit in append mode."""
+    import datetime as dt
+    import glob
+    import os
+    import time
+
+    from parallel_pagerank_spark.functions.sessions import (
+        session_window_stats,
+    )
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    early = [(0, "u", base), (1, "u", base + dt.timedelta(seconds=60))]
+    late = [(2, "u", base + dt.timedelta(hours=6))]
+    schema = "event_id long, user_id string, ts timestamp"
+    spark.createDataFrame(early, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    first = set(glob.glob(f"{in_dir}/*.parquet"))
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    now = time.time()
+    for f in first:
+        os.utime(f, (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        session_window_stats(stream, gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    # the early 2-event session closed when the 6h-later batch advanced
+    # the watermark; the final session stays open in state (append-mode
+    # contract)
+    assert [(r["user_id"], r["n_events"]) for r in got] == [("u", 2)]
