@@ -224,3 +224,25 @@ def load_edge_list(path: str) -> list[tuple[int, int]]:
             except (ValueError, IndexError):
                 continue
     return edges
+
+
+def k_core_oracle(
+    edges: list[tuple[int, int]], k: int
+) -> dict[int, int]:
+    """k-core by sequential peeling (order-independent fixpoint): returns
+    {vertex: degree-in-core} for the maximal subgraph with min degree >= k
+    of the undirected simple graph."""
+    adj = defaultdict(set)
+    for s, t in edges:
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    alive = {v for v in adj if len(adj[v]) >= 0}
+    changed = True
+    while changed:
+        changed = False
+        for v in list(alive):
+            if len(adj[v] & alive) < k:
+                alive.discard(v)
+                changed = True
+    return {v: len(adj[v] & alive) for v in alive}

@@ -226,3 +226,29 @@ def test_label_propagation_fast_path_parity(spark, edges, n):
     assert res.mode == "vectorized"
     got = {r["id"]: r["label"] for r in res.labels.collect()}
     assert got == label_propagation_oracle(edges, n, max_iter=10)
+
+
+def test_k_core(spark):
+    from parallel_pagerank_spark.operators.kcore import k_core
+
+    from .oracles import k_core_oracle
+
+    # clique of 6 (every vertex deg 5) + pendant chains + a triangle that
+    # k=3 must peel away
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    chains = [(5, 10), (10, 11), (11, 12), (0, 20), (20, 21)]
+    tri = [(30, 31), (31, 32), (32, 30)]
+    edges = clique + chains + tri
+    df = edges_df(spark, edges)
+    for k in (2, 3, 4):
+        want = k_core_oracle(edges, k)
+        res = k_core(df, k=k)
+        got = {r["id"]: r["core_deg"] for r in res.core.collect()}
+        assert got == want, (k, got, want)
+        assert res.converged
+    # k=3: only the clique survives (chains peel, triangle is a 2-core)
+    res3 = k_core(df, k=3)
+    assert {r["id"] for r in res3.core.collect()} == set(range(6))
+    # k above the max core: empty result, still converges
+    res9 = k_core(df, k=9)
+    assert res9.core.count() == 0 and res9.converged
