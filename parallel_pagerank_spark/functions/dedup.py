@@ -401,10 +401,13 @@ def embedding_near_dups(
     and the oracle-checkable form."""
     from .similarity import _dot, _norm, srp_signatures
 
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nrm"),
+    # norms feed both sides of the verification join — compute once
+    base = _persist_materialized(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
     )
     if method == "bruteforce":
         a = base.select(
