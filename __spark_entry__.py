@@ -42,7 +42,10 @@ handoff AS (
 edges AS (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
 """
 
-_NORM_TEXT_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+# collapse BEFORE trim: SQL trim() strips spaces only, so a leading
+# tab/newline must first become a space to be trimmed (matches the
+# engine's functions/dedup._normalized exactly)
+_NORM_TEXT_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 # ASCII punctuation, written as an explicit class so Java regex (Spark) and
 # RE2 (DuckDB) agree exactly

@@ -45,8 +45,14 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _normalized(text_col) -> "F.Column":
-    return F.regexp_replace(
-        F.lower(F.trim(F.coalesce(text_col, F.lit("")))), r"\s+", " "
+    """Lowercase + collapse whitespace runs to one space + trim. Collapse
+    happens BEFORE trim: Spark/DuckDB trim() strips spaces only, so a
+    leading tab/newline would otherwise survive as a leading space (found
+    by the hypothesis property test)."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(text_col, F.lit(""))), r"\s+", " "
+        )
     )
 
 

@@ -129,8 +129,10 @@ def language_id(text_col: str = "text") -> Column:
     Counts run over whitespace-NORMALIZED text (trim + collapse runs to a
     single space) so a marker word adjacent to a tab/newline still counts —
     the same normalization the DuckDB oracle applies."""
-    normalized = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "
+    normalized = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
     )
     padded = F.concat(F.lit(" "), normalized, F.lit(" "))
     scores = [
@@ -160,10 +162,10 @@ def document_fingerprint(text_col: str = "text") -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text — the rolling-hash content id used for near-dup
     bookkeeping. Deterministic across runs/partitionings."""
-    normalized = F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-        r"\s+",
-        " ",
+    normalized = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+        )
     )
     return F.xxhash64(normalized)
 

@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): engine operators vs brute-force
+Python on randomized inputs. Few examples per property (Spark round-trips
+are ~seconds), but each randomized over structure the fixed fixtures can't
+cover: ragged conversations, duplicate texts, arbitrary session gaps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def transcripts(draw):
+    n_convs = draw(st.integers(1, 5))
+    rows = []
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 6))
+        for t in range(n_turns):
+            tool = draw(
+                st.sampled_from([None, "search", "code"])
+            )
+            rows.append((f"c{c}", t, "user", f"t{c}-{t}", tool))
+    return rows
+
+
+@given(transcripts())
+@settings(**_SETTINGS)
+def test_reply_edges_match_bruteforce(spark, rows):
+    """Reply links == consecutive-turn pairs per conversation, for any
+    ragged conversation-length structure."""
+    from parallel_pagerank_spark.operators.derive import derive_edges
+
+    tr = spark.createDataFrame(
+        [(c, t, r, x, tool, None) for c, t, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in derive_edges(
+            tr, id_mode="hash", handoff_links=False
+        ).collect()
+    }
+    ids = {
+        (r["conv_id"], r["turn_idx"]): r["id"]
+        for r in tr.select(
+            "conv_id",
+            "turn_idx",
+            F.xxhash64("conv_id", "turn_idx").alias("id"),
+        ).collect()
+    }
+    by_conv: dict[str, list[int]] = {}
+    for c, t, *_ in rows:
+        by_conv.setdefault(c, []).append(t)
+    want = set()
+    for c, turns in by_conv.items():
+        for t in sorted(turns)[:-1]:
+            want.add((ids[(c, t)], ids[(c, t + 1)]))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]), st.integers(0, 20_000)
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.integers(60, 3600),
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_bruteforce(spark, events, gap):
+    """Session indices == brute-force gap splitting for arbitrary
+    user/timestamp layouts and gap thresholds."""
+    from parallel_pagerank_spark.functions.sessions import sessionize
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["session_idx"])
+        for r in sessionize(ev, gap_seconds=gap).collect()
+    }
+    want = {}
+    by_user: dict[str, list[tuple]] = {}
+    for i, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                idx += 1
+            want[i] = (u, idx)
+            prev = ts
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab \t\nC", min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_matches_bruteforce(spark, texts):
+    """Dedup groups == python dict grouping by the same normalization,
+    including whitespace runs, case, and empty strings."""
+    from parallel_pagerank_spark.functions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["keep_id"]: r["dup_count"] for r in exact_dedup(df).collect()
+    }
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        norm = " ".join(t.strip().lower().split())
+        groups.setdefault(norm, []).append(i)
+    want = {min(ids): len(ids) for ids in groups.values()}
+    assert got == want
