@@ -149,17 +149,19 @@ def per_vertex_triangles_oracle(
 def label_propagation_oracle(
     edges: list[tuple[int, int]], num_nodes: int, max_iter: int = 10
 ) -> dict[int, int]:
-    """Synchronous label propagation over the undirected graph:
-    every superstep each vertex with >=1 neighbor adopts the most frequent
-    label among its neighbors, ties broken by MIN label. Vertices without
-    neighbors keep their own id. Deterministic; stops early when stable.
+    """Synchronous label propagation over the undirected SIMPLE graph
+    (duplicate edges deduped — each neighbor's label counts once, matching
+    the engine's symmetrize() contract): every superstep each vertex with
+    >=1 neighbor adopts the most frequent label among its neighbors, ties
+    broken by MIN label. Vertices without neighbors keep their own id.
+    Deterministic; stops early when stable.
     """
-    adj = defaultdict(list)
+    adj = defaultdict(set)
     for s, t in edges:
         if s == t:
             continue
-        adj[s].append(t)
-        adj[t].append(s)
+        adj[s].add(t)
+        adj[t].add(s)
     labels = {i: i for i in range(num_nodes)}
     for _ in range(max_iter):
         new_labels = dict(labels)

@@ -139,3 +139,81 @@ def test_exact_dedup_matches_bruteforce(spark, texts):
         groups.setdefault(norm, []).append(i)
     want = {min(ids): len(ids) for ids in groups.values()}
     assert got == want
+
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_edges_strategy)
+@settings(**_SETTINGS)
+def test_components_fast_random_graphs(spark, edges):
+    """Vectorized CC == union-find oracle on arbitrary random edge lists
+    (self-loops, duplicates, isolated id-gaps included)."""
+    from parallel_pagerank_spark.operators.components import (
+        connected_components,
+    )
+
+    from .oracles import connected_components_oracle
+
+    df = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in edges], "src long, dst long"
+    )
+    n = max(max(s, t) for s, t in edges) + 1
+    res = connected_components(df)
+    assert res.mode == "vectorized"
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == connected_components_oracle(edges, n)
+
+
+@given(_edges_strategy)
+@settings(**_SETTINGS)
+def test_label_propagation_fast_random_graphs(spark, edges):
+    from parallel_pagerank_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    from .oracles import label_propagation_oracle
+
+    df = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in edges], "src long, dst long"
+    )
+    n = max(max(s, t) for s, t in edges) + 1
+    res = label_propagation(df, max_iter=5)
+    assert res.mode == "vectorized"
+    got = {r["id"]: r["label"] for r in res.labels.collect()}
+    assert got == label_propagation_oracle(edges, n, max_iter=5)
+
+
+@given(_edges_strategy)
+@settings(**_SETTINGS)
+def test_pagerank_numpy_tier_random_graphs(spark, edges):
+    """The full-driver numpy PageRank tier matches the reference-semantics
+    oracle (ranks AND iteration count) on arbitrary random graphs."""
+    import numpy as np
+
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+
+    from .oracles import pagerank_oracle
+
+    df = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in edges], "src long, dst long"
+    )
+    want, want_iters, _ = pagerank_oracle(edges, tol=1e-6)
+    res = pagerank(df, config=PageRankConfig(tol=1e-6))
+    assert res.mode == "vectorized"
+    assert res.iterations == want_iters
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    got_vec = np.array([got[i] for i in sorted(got)])
+    assert np.allclose(got_vec, want, atol=1e-6)
+    assert got_vec.sum() == pytest_approx_one(got_vec)
+
+
+def pytest_approx_one(vec):
+    import pytest as _pytest
+
+    return _pytest.approx(1.0, abs=1e-9)
