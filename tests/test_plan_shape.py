@@ -171,3 +171,38 @@ def test_topk_plans_take_ordered(spark):
     )
     plan = _plan(top_k_ranks(ranks, 5))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_join_zero_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must join with NO
+    Exchange on either side (durable cross-session co-location — the
+    storage-level answer to the per-superstep shuffle)."""
+    from parallel_pagerank_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    edges = spark.range(2000).selectExpr(
+        "id AS src", "(id * 7) % 500 AS dst"
+    )
+    ranks = spark.range(500).selectExpr("id AS src", "rand(1) AS rank")
+    write_bucketed(
+        edges, "e_bucketed", "src", buckets=8,
+        path=str(tmp_path / "e"),
+    )
+    write_bucketed(
+        ranks, "r_bucketed", "src", buckets=8,
+        path=str(tmp_path / "r"),
+    )
+    try:
+        joined = read_bucketed(spark, "e_bucketed").join(
+            read_bucketed(spark, "r_bucketed").hint("merge"), "src"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # bucketed scans advertise the bucket count
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS e_bucketed")
+        spark.sql("DROP TABLE IF EXISTS r_bucketed")
