@@ -264,6 +264,34 @@ def _q_pagerank_fixed20(spark, sf_dir):
     )
 
 
+def _q_pagerank_weighted20(spark, sf_dir):
+    """Fixed-iteration WEIGHTED PageRank: deterministic integer-valued
+    edge weights 1 + (src+dst) % 3, rank flowing proportionally to
+    weight/Σweights(src) — oracle-checked against the unrolled weighted
+    power iteration (weights are integer-valued doubles, so per-src sums
+    are exact in both engines)."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir)).withColumn(
+        "weight",
+        (
+            F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(3))
+        ).cast("double"),
+    )
+    res = pagerank(
+        edges,
+        config=PageRankConfig(tol=0.0, max_iter=20),
+        weight_col="weight",
+    )
+    return (
+        res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
 def _q_clustering_coefficient(spark, sf_dir):
     from parallel_pagerank_spark.operators.stats import (
         clustering_coefficient,
@@ -483,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingles": _q_doc_shingles,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_fixed20": _q_pagerank_fixed20,
+        "pagerank_weighted20": _q_pagerank_weighted20,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
         "clustering_coefficient": _q_clustering_coefficient,
@@ -587,25 +616,46 @@ l{k} AS MATERIALIZED (SELECT v.id, coalesce(b.new_label, v.label) AS label
     return "".join(parts)
 
 
-def _pagerank_fixed_sql(iters: int = 20) -> str:
+def _pagerank_fixed_sql(iters: int = 20, weighted: bool = False) -> str:
     """Unrolled power iteration mirroring operators/pagerank.py float-op
     for float-op: w = 1.0/out_deg then rank*w (not rank/out_deg), damping
     literals written as 0.85 and (1.0 - 0.85) so both engines parse the
-    same doubles, dangling mass S_{k-1} * (1.0/n) redistributed uniformly."""
-    parts = [f"""WITH {_EDGES_MAT_CTE},
+    same doubles, dangling mass S_{k-1} * (1.0/n) redistributed uniformly.
+
+    weighted=True: edges carry the deterministic weight 1 + (src+dst) % 3
+    (integer-valued doubles, so per-src weight sums are EXACT in both
+    engines regardless of summation order) and rank flows proportionally
+    to weight/wsum(src) — mirroring pagerank(weight_col=...)."""
+    wedges_cte = """,
+wedges AS MATERIALIZED (
+  SELECT src, dst, (1 + (src + dst) % 3)::DOUBLE AS weight FROM edges)"""
+    deg_cte = (
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg, "
+        "sum(weight) AS wsum FROM wedges GROUP BY src)"
+        if weighted
+        else "deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg "
+        "FROM edges GROUP BY src)"
+    )
+    edge_rel = "wedges" if weighted else "edges"
+    contrib_expr = (
+        "sum(p.rank * (e.weight / g.wsum))"
+        if weighted
+        else "sum(p.rank * (1.0 / g.out_deg))"
+    )
+    parts = [f"""WITH {_EDGES_MAT_CTE}{wedges_cte if weighted else ""},
 params AS MATERIALIZED (SELECT greatest(max(src), max(dst)) + 1 AS n,
                   1.0 / (greatest(max(src), max(dst)) + 1) AS inv_n
            FROM edges),
 verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params),
-deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+{deg_cte},
 p0 AS MATERIALIZED (SELECT v.id, (SELECT inv_n FROM params) AS rank FROM verts v),
 d0 AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
        FROM p0 p LEFT JOIN deg g ON g.id = p.id WHERE g.id IS NULL)"""]
     prev_p, prev_d = "p0", "d0"
     for k in range(1, iters + 1):
         parts.append(f""",
-c{k} AS MATERIALIZED (SELECT e.dst AS id, sum(p.rank * (1.0 / g.out_deg)) AS contrib
-         FROM edges e
+c{k} AS MATERIALIZED (SELECT e.dst AS id, {contrib_expr} AS contrib
+         FROM {edge_rel} e
          JOIN {prev_p} p ON p.id = e.src
          JOIN deg g ON g.id = e.src
          GROUP BY e.dst),
@@ -816,6 +866,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         "connected_components": _cc_sql(),
         "label_propagation": _lpa_sql(),
         "pagerank_fixed20": _pagerank_fixed_sql(),
+        "pagerank_weighted20": _pagerank_fixed_sql(weighted=True),
         "clustering_coefficient": _clustering_sql(),
         "isolated_count": (
             f"WITH {_EDGES_CTE} "
