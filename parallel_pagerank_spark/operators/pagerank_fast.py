@@ -1,12 +1,15 @@
-"""Vectorized PageRank fast path (SURVEY.md §4.3 optional optimization).
+"""Vectorized PageRank fast paths (SURVEY.md §4.3 optional optimization).
 
 The pure-DataFrame loop (operators/pagerank.py) shuffles ~E contribution
 rows per superstep through the groupBy(dst) exchange — correct and
 scale-safe, but shuffle-bound: the map-side partial aggregation builds
-million-group hash tables with almost no reduction. This module is the
-Arrow/numpy rendition of the reference's SpMV inner loop
-(pagerank_mpi.c:176-192) for graphs whose RANK VECTOR fits in executor
-memory (N ≲ 10^8-10^9; the 24 MB/3M-vertex regime of the bench graphs):
+million-group hash tables with almost no reduction. This module holds TWO
+tiers of the reference's SpMV inner loop (pagerank_mpi.c:176-192):
+
+- tier 2 (``_pagerank_numpy``): edges AND ranks fit driver memory — one
+  Arrow collect, the whole loop in numpy, zero Spark jobs per iteration.
+- tier 1 (below): only the RANK VECTOR fits (N ≲ 10^8-10^9; the
+  24 MB/3M-vertex regime of the bench graphs) — edges stay distributed:
 
 - edges are hash-partitioned by dst ONCE and cached; each partition owns a
   disjoint dst subset.

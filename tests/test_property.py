@@ -217,3 +217,55 @@ def pytest_approx_one(vec):
     import pytest as _pytest
 
     return _pytest.approx(1.0, abs=1e-9)
+
+
+@given(_edges_strategy)
+@settings(**_SETTINGS)
+def test_triangle_methods_agree_random_graphs(spark, edges):
+    """Both triangle variants == brute-force oracle on random graphs."""
+    from parallel_pagerank_spark.operators.triangles import triangle_count
+
+    from .oracles import triangle_count_oracle
+
+    df = spark.createDataFrame(
+        [(int(s), int(t)) for s, t in edges], "src long, dst long"
+    )
+    n = max(max(s, t) for s, t in edges) + 1
+    want = triangle_count_oracle(edges, n)
+    assert triangle_count(df, "ordered") == want
+    assert triangle_count(df, "degree_oriented") == want
+
+
+@given(
+    _edges_strategy,
+    st.lists(st.integers(1, 5), min_size=40, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_weighted_pagerank_random_graphs(spark, edges, wpool):
+    """Weighted PageRank == the weighted oracle for arbitrary graphs and
+    positive integer weights (ranks + iteration count)."""
+    import numpy as np
+
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+
+    from .oracles import pagerank_oracle
+
+    weights = [float(wpool[i % len(wpool)]) for i in range(len(edges))]
+    want, want_iters, _ = pagerank_oracle(
+        edges, tol=1e-6, weights=weights
+    )
+    df = spark.createDataFrame(
+        [
+            (int(s), int(t), w)
+            for (s, t), w in zip(edges, weights)
+        ],
+        "src long, dst long, weight double",
+    )
+    res = pagerank(
+        df, config=PageRankConfig(tol=1e-6), weight_col="weight"
+    )
+    assert res.iterations == want_iters
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    got_vec = np.array([got[i] for i in sorted(got)])
+    assert np.allclose(got_vec, want, atol=1e-6)
