@@ -206,3 +206,18 @@ def test_bucketed_join_zero_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS e_bucketed")
         spark.sql("DROP TABLE IF EXISTS r_bucketed")
+
+
+def test_components_never_materialize_neighborhood_arrays():
+    """Hub safety: the components module must never rebuild a vertex
+    neighborhood as one array row (collect_set/collect_list) — a
+    10^6-degree hub star was verified to complete through
+    large_star_small_star with bounded task memory after the join-based
+    rewrite; this pins the formulation."""
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "parallel_pagerank_spark" / "operators" / "components.py"
+    ).read_text()
+    assert "F.collect_set(" not in src and "F.collect_list(" not in src
