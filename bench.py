@@ -151,17 +151,22 @@ def child_headline() -> None:
     n_edges = edges.count()
 
     queries: dict[str, float] = {}
+    queries_best: dict[str, float] = {}
     pr_stats: dict = {}
 
     def q(name, fn, repeats=2):
-        # best-of-k: single-host timing noise (GC, shared-host scheduling)
-        # only ever ADDS time, so min is the cleanest per-query estimator
-        # and keeps round-over-round comparisons out of the noise floor
-        best, out = _timed(fn)
+        # report the COLD first run as the headline (comparable to the
+        # round-1 single-run methodology — repeat runs can hit internally
+        # persisted intermediates like LSH signatures and would overstate
+        # speed); best-of-k is recorded separately as the noise-floor /
+        # stability signal
+        cold, out = _timed(fn)
+        best = cold
         for _ in range(repeats - 1):
             t, out = _timed(fn)
             best = min(best, t)
-        queries[name] = best
+        queries[name] = cold
+        queries_best[name] = best
         return out
 
     res = q(
@@ -206,7 +211,13 @@ def child_headline() -> None:
         ).count(),
     )
     print(
-        json.dumps({"queries": queries, "pagerank": pr_stats})
+        json.dumps(
+            {
+                "queries": queries,
+                "queries_best": queries_best,
+                "pagerank": pr_stats,
+            }
+        )
     )
     spark.stop()
 
@@ -254,6 +265,9 @@ def main() -> None:
         "value": round(sum(head["queries"].values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in head["queries"].items()},
+        "queries_best": {
+            k: round(v, 3) for k, v in head.get("queries_best", {}).items()
+        },
         "sf": float(sf),
         "pagerank": head["pagerank"],
         "scaling": {

@@ -178,8 +178,15 @@ def grayscale(img: np.ndarray) -> np.ndarray:
 
 def block_mean_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-style downsample via uneven block means (np.add.reduceat on
-    both axes) — deterministic, handles non-divisible shapes."""
+    both axes) — deterministic, handles non-divisible shapes. Inputs
+    SMALLER than the output grid on either axis fall back to
+    nearest-neighbor sampling (block means would have zero-size blocks →
+    division by zero / NaN features)."""
     h, w = gray.shape
+    if h < out_h or w < out_w:
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        return gray[ri][:, ci].astype(np.float32)
     ro = (np.arange(out_h) * h) // out_h
     co = (np.arange(out_w) * w) // out_w
     sums = np.add.reduceat(np.add.reduceat(gray, ro, axis=0), co, axis=1)

@@ -45,15 +45,12 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _normalized(text_col) -> "F.Column":
-    """Lowercase + collapse whitespace runs to one space + trim. Collapse
-    happens BEFORE trim: Spark/DuckDB trim() strips spaces only, so a
-    leading tab/newline would otherwise survive as a leading space (found
-    by the hypothesis property test)."""
-    return F.trim(
-        F.regexp_replace(
-            F.lower(F.coalesce(text_col, F.lit(""))), r"\s+", " "
-        )
-    )
+    """Delegates to the single engine-wide normalization (functions/
+    text.normalized_text) so fingerprints, shingles, and language-ID can
+    never silently disagree on the same text."""
+    from .text import normalized_text
+
+    return normalized_text(text_col)
 
 
 def exact_dedup(
@@ -429,7 +426,12 @@ def embedding_near_dups(
         joined = a.join(b, F.col("id_b") > F.col("id_a"))
     elif method == "lsh":
         if dim is None:
-            dim = emb.select(F.size(vec_col).alias("d")).first()["d"]
+            row = emb.select(F.size(vec_col).alias("d")).first()
+            if row is None:  # empty input: no pairs
+                return emb.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine double"
+                )
+            dim = row["d"]
         sig = _persist_materialized(
             srp_signatures(
                 emb, dim, nbits, n_tables, id_col, vec_col, seed

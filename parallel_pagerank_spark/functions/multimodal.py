@@ -135,6 +135,10 @@ def image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             img = pdf[pdf["kind"] == "image"]
+            if decoder == "real":
+                # content is nullable; there is nothing to decode for a
+                # NULL payload — skip the row (the fake path emits zeros)
+                img = img[img["content"].notna()]
             if not len(img):
                 # empty sub-batch: a yielded empty frame would carry
                 # default float64 columns that Arrow cannot cast to
@@ -186,6 +190,9 @@ def audio_features(df: DataFrame, decoder: str = "real") -> DataFrame:
                 "media_id": [], "n_samples": [], "sample_rate": [],
                 "duration_sec": [], "rms": [], "zero_cross_rate": [],
             }
+            aud = aud[aud["content"].notna()]
+            if not len(aud):
+                continue
             for mid, c in zip(aud["media_id"], aud["content"]):
                 if decoder == "real":
                     if not c or bytes(c[:4]) != b"RIFF":
@@ -237,6 +244,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             img = pdf[pdf["kind"] == "image"]
+            img = img[img["content"].notna()]  # nothing to resize
             if not len(img):
                 continue
             out = {"media_id": [], "width": [], "height": [], "content": []}

@@ -33,6 +33,19 @@ LANG_MARKERS = {
 }
 
 
+def normalized_text(col: Column) -> Column:
+    """THE canonical whitespace normalization used engine-wide (dedup
+    fingerprints, shingles, language-ID, document fingerprints — and
+    mirrored by the DuckDB oracle SQL): lowercase, collapse whitespace
+    runs to one space, then trim. Collapse happens BEFORE trim because
+    Spark/DuckDB trim() strips spaces only — a leading tab/newline must
+    first become a space to be trimmed. Change it here and in
+    __spark_entry__._NORM_TEXT_SQL together, nowhere else."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " ")
+    )
+
+
 def whitespace_token_count(col: Column) -> Column:
     """Number of whitespace-separated tokens (0 for empty/blank)."""
     trimmed = F.trim(col)
@@ -129,12 +142,9 @@ def language_id(text_col: str = "text") -> Column:
     Counts run over whitespace-NORMALIZED text (trim + collapse runs to a
     single space) so a marker word adjacent to a tab/newline still counts —
     the same normalization the DuckDB oracle applies."""
-    normalized = F.trim(
-        F.regexp_replace(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
-        )
+    padded = F.concat(
+        F.lit(" "), normalized_text(F.col(text_col)), F.lit(" ")
     )
-    padded = F.concat(F.lit(" "), normalized, F.lit(" "))
     scores = [
         (
             lang,
@@ -162,12 +172,7 @@ def document_fingerprint(text_col: str = "text") -> Column:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text — the rolling-hash content id used for near-dup
     bookkeeping. Deterministic across runs/partitionings."""
-    normalized = F.trim(
-        F.regexp_replace(
-            F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
-        )
-    )
-    return F.xxhash64(normalized)
+    return F.xxhash64(normalized_text(F.col(text_col)))
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -59,9 +59,15 @@ def _route_fast(
         return None
     row = edges.agg(
         F.greatest(F.max("src"), F.max("dst")).alias("m"),
+        F.least(F.min("src"), F.min("dst")).alias("lo"),
         F.count("*").alias("e"),
     ).first()
     if row["m"] is None:
+        return None
+    # negative ids would wrap through numpy indexing and silently merge
+    # components — only the dense non-negative id space routes; anything
+    # else stays on the join-based distributed path (id-agnostic)
+    if int(row["lo"]) < 0:
         return None
     n = int(row["m"]) + 1
     if n <= _FAST_MAX_NODES and int(row["e"]) <= fast_path_edges:

@@ -174,9 +174,17 @@ def pagerank(
         and cfg.checkpoint_dir is None
         and cfg.salt_buckets == 0
     ):
-        from .pagerank_fast import pagerank_vectorized
+        lo = edges.agg(
+            F.least(F.min("src"), F.min("dst")).alias("lo")
+        ).first()["lo"]
+        # negative ids fall outside the dense 0..max_id space the numpy
+        # kernels index into — keep those on the DataFrame loop
+        if lo is not None and lo >= 0:
+            from .pagerank_fast import pagerank_vectorized
 
-        return pagerank_vectorized(edges, vertices=vertices, config=cfg)
+            return pagerank_vectorized(
+                edges, vertices=vertices, config=cfg
+            )
 
     use_broadcast = cfg.spmv_mode == "broadcast" or (
         cfg.spmv_mode == "auto" and n <= cfg.broadcast_threshold

@@ -113,14 +113,18 @@ def pagerank_vectorized(
     if n == 0:
         empty = spark.createDataFrame([], "id long, rank double")
         return PageRankResult(empty, 0, True, [])
-    max_id = edges.agg(
-        F.greatest(F.max("src"), F.max("dst")).alias("m")
-    ).first()["m"]
-    if max_id is not None and (max_id >= n or max_id < 0):
+    bounds = edges.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("m"),
+        F.least(F.min("src"), F.min("dst")).alias("lo"),
+    ).first()
+    max_id = bounds["m"]
+    if max_id is not None and (
+        max_id >= n or max_id < 0 or int(bounds["lo"]) < 0
+    ):
         raise ValueError(
-            "pagerank_vectorized requires dense ids in [0, N); "
-            f"got max_id={max_id} for N={n}. Use id_mode='dense' or the "
-            "DataFrame pagerank()."
+            "pagerank_vectorized requires dense ids in [0, N); got "
+            f"ids in [{bounds['lo']}, {max_id}] for N={n}. Use "
+            "id_mode='dense' or the DataFrame pagerank()."
         )
     # the VERTEX set must be dense too: an explicit sparse vertex set whose
     # ids exceed N (but whose edges only touch low ids) would otherwise pass

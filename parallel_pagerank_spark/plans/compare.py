@@ -66,9 +66,10 @@ def comparison_report(named_results: dict, k: int = 10) -> str:
             d = compare_ranks(
                 base.ranks, named_results[other].ranks, k=k
             )
+            fmt = lambda v: "n/a" if v is None else f"{v:.3e}"  # noqa: E731
             lines.append(
                 f"{names[0]} vs {other}: max|Δrank|="
-                f"{d['max_abs_diff']:.3e}  L1Δ={d['l1_diff']:.3e}  "
+                f"{fmt(d['max_abs_diff'])}  L1Δ={fmt(d['l1_diff'])}  "
                 f"top{k} overlap={d['topk_overlap']:.0%}  "
                 f"unmatched ids={d['n_unmatched']}"
             )

@@ -127,7 +127,7 @@ def _plot_series(
         write_png(path, cv.px)
         return
     xs, ys = zip(*pts)
-    xlo, xhi = min(xs), max(xs) or 1
+    xlo, xhi = min(xs), max(xs)
     ylo, yhi = min(ys), max(ys)
     if xhi == xlo:
         xhi = xlo + 1

@@ -239,7 +239,7 @@ def k_core_oracle(
         if s != t:
             adj[s].add(t)
             adj[t].add(s)
-    alive = {v for v in adj if len(adj[v]) >= 0}
+    alive = set(adj)
     changed = True
     while changed:
         changed = False

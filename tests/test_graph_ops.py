@@ -252,3 +252,34 @@ def test_k_core(spark):
     # k above the max core: empty result, still converges
     res9 = k_core(df, k=9)
     assert res9.core.count() == 0 and res9.converged
+
+
+def test_negative_ids_stay_on_distributed_path(spark):
+    """Negative vertex ids would wrap through numpy indexing in the fast
+    paths — such graphs must NOT route, and the join-based loops must
+    still produce correct components/labels for them."""
+    edges = [(-3, 5), (5, 7), (2, 4)]
+    df = edges_df(spark, edges)
+    res = connected_components(df)
+    assert res.mode == "dataframe"
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    # dense max_id+1 vertex rule: a negative id is NOT a vertex, so its
+    # edge is dropped by the label join — the routed numpy kernel would
+    # instead have WRAPPED -3 onto vertex 5 and silently merged wrong
+    # components. Correct result: {5,7} one component, {2,4} one, rest
+    # singletons, -3 absent.
+    assert -3 not in got
+    assert set(got) == set(range(8))
+    assert got[5] == got[7] == 5
+    assert got[2] == got[4] == 2
+    res_lpa = label_propagation(df, max_iter=3)
+    assert res_lpa.mode == "dataframe"
+
+
+def test_negative_ids_pagerank_not_routed(spark):
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+
+    df = edges_df(spark, [(-3, 1), (1, 0)])
+    res = pagerank(df, config=PageRankConfig(tol=1e-4))
+    assert res.mode == "dataframe"
