@@ -27,17 +27,45 @@ from pyspark.sql.types import LongType
 from pyspark.storagelevel import StorageLevel
 
 
-def _persist_materialized(df: DataFrame) -> DataFrame:
+def _persist_materialized(
+    df: DataFrame, scope: list[DataFrame] | None = None
+) -> DataFrame:
     """Persist + materialize an expensive intermediate that is about to be
     referenced on BOTH sides of a self-join. The eager count() matters:
     the two join-side scan stages are independent and can be scheduled
     concurrently, in which case both would miss a cold cache and recompute
-    the expensive stage (the signature UDF) twice. Cleanup is left to
-    Spark's ContextCleaner (unpersists when the plan is GC'd) / LRU
-    eviction, since the caller consumes the result lazily."""
+    the expensive stage (the signature UDF) twice.
+
+    Cleanup: pass a ``scope`` list and the intermediate is registered for
+    explicit release via ``_release(scope)`` once the consumer has
+    materialized its own result — long-lived sessions running many dedup
+    jobs must not accumulate signature caches until ContextCleaner GC.
+    Without a scope (direct candidate-generation use), cleanup falls back
+    to ContextCleaner / LRU eviction."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    if scope is not None:
+        scope.append(df)
     return df
+
+
+def _release(scope: list[DataFrame]) -> None:
+    for df in scope:
+        df.unpersist()
+    scope.clear()
+
+
+def _materialize_and_release(
+    out: DataFrame, scope: list[DataFrame]
+) -> DataFrame:
+    """Eagerly materialize a top-level (bounded: near-dup pairs only)
+    result, then drop every intermediate cache it was built from. The
+    returned DataFrame stays persisted — it is small and the caller
+    consumes it next; everything upstream is released immediately."""
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    _release(scope)
+    return out
 
 # Mersenne prime 2^31 - 1: universal-hash modulus; all arithmetic stays
 # < 2^62 so ANSI mode never overflows
@@ -187,6 +215,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     seed: int = 42,
     impl: str = "pandas",
+    _scope: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a < id_b, est_jaccard)`` via LSH
     banding: a pair collides if any band of rows hashes equal. est_jaccard
@@ -210,7 +239,7 @@ def minhash_lsh_candidates(
     # the signature UDF is the single most expensive stage of the whole
     # near-dup pipeline — cache it so the bucket self-join below reads the
     # signatures instead of recomputing them for each side
-    sig = _persist_materialized(sig)
+    sig = _persist_materialized(sig, _scope)
     band_entries = sig.select(
         "id",
         "sig",
@@ -271,27 +300,34 @@ def minhash_lsh_dedup(
     **lsh_kw,
 ) -> DataFrame:
     """Near-dup pairs with exact shingle-Jaccard verification of LSH
-    candidates only: ``(id_a, id_b, jaccard)`` with jaccard >= threshold."""
-    cands = minhash_lsh_candidates(docs, id_col, text_col, **lsh_kw)
+    candidates only: ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
+    Eager: the (bounded) pair result is materialized and every signature/
+    shingle cache released before returning."""
+    scope: list[DataFrame] = []
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, _scope=scope, **lsh_kw
+    )
     shingle_n = lsh_kw.get("shingle_n", 5)
     # shingles feed both sides of the verification join — derive them once
     sh = _persist_materialized(
         docs.select(
             F.col(id_col).alias("id"),
             char_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
+        ),
+        scope,
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = cands.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         joined.select(
             "id_a", "id_b", (inter / union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return _materialize_and_release(out, scope)
 
 
 @pandas_udf(LongType())
@@ -344,10 +380,13 @@ def simhash_near_dups(
     Pigeonhole blocking: split the 64-bit fingerprint into ``blocks``
     16-bit blocks; any pair within distance max_hamming < blocks agrees on
     at least one block → join per block bucket, verify distance exactly
-    (Manku et al. WWW'07 pattern). Never all-pairs."""
+    (Manku et al. WWW'07 pattern). Never all-pairs. Eager: the (bounded)
+    pair result is materialized and the fingerprint cache released before
+    returning."""
     assert max_hamming < blocks
+    scope: list[DataFrame] = []
     # cache fingerprints: the block-bucket self-join references them twice
-    sh = _persist_materialized(simhash(docs, id_col, text_col))
+    sh = _persist_materialized(simhash(docs, id_col, text_col), scope)
     width = 64 // blocks
     entries = sh.select(
         "id",
@@ -373,13 +412,14 @@ def simhash_near_dups(
         "block", "key", F.col("id").alias("id_b"), F.col("simhash").alias("h_b")
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    out = (
         left.join(right, ["block", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _materialize_and_release(out, scope)
 
 
 def embedding_near_dups(
@@ -401,16 +441,21 @@ def embedding_near_dups(
     a pair of IDENTICAL vectors collides in every table, so recall is 1.0
     for exact copies and grows with n_tables for near-copies.
     method="bruteforce": exact all-pairs — the documented small-N baseline
-    and the oracle-checkable form."""
+    and the oracle-checkable form.
+
+    Eager: the (bounded) pair result is materialized and the norm/
+    signature caches released before returning."""
     from .similarity import _dot, _norm, srp_signatures
 
+    scope: list[DataFrame] = []
     # norms feed both sides of the verification join — compute once
     base = _persist_materialized(
         emb.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
             _norm(F.col(vec_col)).alias("nrm"),
-        )
+        ),
+        scope,
     )
     if method == "bruteforce":
         a = base.select(
@@ -428,6 +473,7 @@ def embedding_near_dups(
         if dim is None:
             row = emb.select(F.size(vec_col).alias("d")).first()
             if row is None:  # empty input: no pairs
+                _release(scope)
                 return emb.sparkSession.createDataFrame(
                     [], "id_a long, id_b long, cosine double"
                 )
@@ -435,7 +481,8 @@ def embedding_near_dups(
         sig = _persist_materialized(
             srp_signatures(
                 emb, dim, nbits, n_tables, id_col, vec_col, seed
-            )
+            ),
+            scope,
         )
         cand = (
             sig.select(F.col("id").alias("id_a"), "bucket")
@@ -460,10 +507,11 @@ def embedding_near_dups(
     cosine = _dot(F.col("vec_a"), F.col("vec_b")) / F.greatest(
         F.col("nrm_a") * F.col("nrm_b"), F.lit(1e-12)
     )
-    return (
+    out = (
         joined.select("id_a", "id_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    return _materialize_and_release(out, scope)
 
 
 def ngram_jaccard_pairs(

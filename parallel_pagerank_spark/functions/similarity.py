@@ -247,3 +247,82 @@ def ivf_assign(
         ),
         cents,
     )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate cosine top-k ``(query_id, neighbor_id, cosine,
+    rnk)``: corpus vectors are bucketed by nearest coarse centroid
+    (``ivf_assign``); each query probes only its ``n_probe`` nearest
+    cells, so per-query work is n_probe/n_cells of the corpus instead of
+    all of it. Candidates get exact cosine + per-query window top-k —
+    identical scoring/tie-break to the brute-force and LSH paths.
+
+    Scale shape: the probe join shuffles on the cell id (bounded key
+    space), never all-pairs; the only driver-side piece is the seeded
+    k-means sample inside ``ivf_assign`` (bounded ``sample_rows``)."""
+    assign, cents = ivf_assign(
+        corpus, dim, n_cells, id_col, vec_col, seed
+    )
+    cfixed = cents.copy()
+    probe = min(n_probe, len(cfixed))
+
+    @pandas_udf(T.ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (
+            (m**2).sum(axis=1)[:, None]
+            - 2 * m @ cfixed.T
+            + (cfixed**2).sum(axis=1)[None, :]
+        )
+        near = np.argsort(d2, axis=1)[:, :probe].astype(np.int32)
+        return pd.Series(list(near))
+
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        assign.withColumnRenamed("id", "neighbor_id")
+        .join(qcells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("cvec"), F.col("qvec"))
+                / F.greatest(F.col("cnorm") * F.col("qnorm"), F.lit(1e-12))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -75,11 +75,18 @@ def _route_fast(
     return None
 
 
-def _components_fast(edges: DataFrame, n: int) -> ComponentsResult:
+def _components_fast(
+    edges: DataFrame, n: int, max_iter: int
+) -> ComponentsResult:
     """Driver-side min-label hook + double pointer-jump (numpy) — same
     fixpoint (component = min vertex id) as the distributed loops, for
     graphs whose edge list fits driver memory. O(E) per round, geometric
-    convergence; the per-round hook makes any fixpoint exact."""
+    convergence; the per-round hook makes any fixpoint exact.
+
+    Honors the caller's ``max_iter`` exactly like the DataFrame path:
+    hitting the cap before the fixpoint returns ``converged=False`` with
+    the last labeling (hook rounds converge geometrically, so in practice
+    a handful of rounds suffice)."""
     spark = edges.sparkSession
     pdf = edges.select("src", "dst").filter(
         F.col("src") != F.col("dst")
@@ -89,7 +96,8 @@ def _components_fast(edges: DataFrame, n: int) -> ComponentsResult:
     labels = np.arange(n, dtype=np.int64)
     metrics: list[dict] = []
     steps = 0
-    while True:
+    converged = False
+    while steps < max_iter:
         new = labels.copy()
         # hook: pull the neighbor's label along both directions
         np.minimum.at(new, dst, labels[src])
@@ -101,6 +109,7 @@ def _components_fast(edges: DataFrame, n: int) -> ComponentsResult:
         steps += 1
         metrics.append({"superstep": steps, "changed": changed})
         if changed == 0:
+            converged = True
             break
         labels = new
     out = spark.createDataFrame(
@@ -108,7 +117,7 @@ def _components_fast(edges: DataFrame, n: int) -> ComponentsResult:
             {"id": np.arange(n, dtype=np.int64), "component": labels}
         )
     )
-    return ComponentsResult(out, steps, True, metrics, mode="vectorized")
+    return ComponentsResult(out, steps, converged, metrics, mode="vectorized")
 
 
 def connected_components(
@@ -125,11 +134,15 @@ def connected_components(
     Small dense-id graphs (E <= fast_path_edges under the default vertex
     rule, no checkpointing) auto-route to the vectorized fast path — the
     superstep loop below ~10^6 edges is pure per-iteration scheduling
-    overhead. fast_path_edges=0 opts out."""
+    overhead. DRIVER-MEMORY NOTE: the fast path collects the edge list to
+    the driver (~16 bytes/edge as numpy int64 pairs, plus a transient
+    Arrow/pandas copy — ~10M edges ≈ a few hundred MB) and holds an O(N)
+    label array; on a memory-constrained driver lower ``fast_path_edges``
+    or pass 0 to force the fully distributed loop."""
     if checkpoint_dir is None:
         n_fast = _route_fast(edges, vertices, fast_path_edges)
         if n_fast is not None:
-            return _components_fast(edges, n_fast)
+            return _components_fast(edges, n_fast, max_iter)
     spark = edges.sparkSession
     num_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -216,7 +229,8 @@ def large_star_small_star(
     """Alternating large-star / small-star connected components
     (Kiveris et al. SoCC'14): O(log^2 n) rounds on any graph shape.
     Small dense-id graphs auto-route to the shared vectorized fast path
-    (identical labeling); fast_path_edges=0 opts out.
+    (identical labeling); fast_path_edges=0 opts out — see the
+    driver-memory note on ``connected_components``.
 
     State is an edge set (u, v) meaning "u and v are in the same component".
     - large-star: for each u, connect every neighbor v > u to m = min
@@ -226,7 +240,7 @@ def large_star_small_star(
     """
     n_fast = _route_fast(edges, vertices, fast_path_edges)
     if n_fast is not None:
-        return _components_fast(edges, n_fast)
+        return _components_fast(edges, n_fast, max_iter)
     spark = edges.sparkSession
     num_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -246,6 +260,7 @@ def large_star_small_star(
         .repartition(num_parts, "hi")
         .localCheckpoint(eager=True)
     )
+    n_pairs = pairs.count()
 
     metrics: list[dict] = []
     steps = 0
@@ -293,15 +308,27 @@ def large_star_small_star(
             .localCheckpoint(eager=True)
         )
         # converged when the pair set is stable: a star forest rooted at
-        # each component's minimum id
-        diff = (
-            new_pairs.exceptAll(pairs).limit(1).count()
-            + pairs.exceptAll(new_pairs).limit(1).count()
-        )
+        # each component's minimum id. Both sides are DISTINCT sets, so
+        # |new| == |old| plus one empty anti-join (new ⊆ old) proves
+        # equality — the count is nearly free on the just-checkpointed
+        # data and the anti-join probe only runs when the counts agree,
+        # so fixpoint detection costs ONE extra shuffle on the final
+        # round instead of two exceptAll shuffles on every round.
+        n_new = new_pairs.count()
+        diff = 1
+        if n_new == n_pairs:
+            diff = (
+                new_pairs.join(pairs, ["hi", "lo"], "left_anti")
+                .limit(1)
+                .count()
+            )
         steps += 1
-        metrics.append({"superstep": steps, "changed": int(diff)})
+        metrics.append(
+            {"superstep": steps, "changed": int(abs(n_new - n_pairs) or diff)}
+        )
         old = pairs
         pairs = new_pairs
+        n_pairs = n_new
         old.unpersist()
         if diff == 0:
             converged = True

@@ -12,16 +12,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+# vertices_from_edges sanity bound: the dense rule generates max_id+1 vertex
+# rows, so a single hash-space id (xxhash64 lands anywhere in ±2^63) would
+# silently ask for a ~10^18-row range. 2^48 ≈ 2.8·10^14 is far above any real
+# dense id space yet catches every 64-bit-hash id.
+_DENSE_MAX_ID = 1 << 48
+
+
 def vertices_from_edges(edges: DataFrame) -> DataFrame:
     """Dense vertex set ``0..max_id`` (csr_graph.c:27: num_nodes = max_id+1).
 
     Ids that appear in no edge but are < max_id still exist and hold rank.
     Uses ``spark.range`` — generated, never materialized from the edge table.
+
+    Guard: ids must look DENSE. Hash-space ids (e.g.
+    ``derive_edges(..., id_mode="hash")`` → xxhash64 values near ±2^63)
+    raise a ValueError instead of generating an astronomically large range
+    (or overflowing the ANSI ``max_id+1``): pass ``id_mode="dense"`` at
+    derivation, or give the operator an explicit ``vertices=`` DataFrame.
     """
     row = edges.agg(
-        F.greatest(F.max("src"), F.max("dst")).alias("max_id")
+        F.greatest(F.max("src"), F.max("dst")).alias("max_id"),
+        F.least(F.min("src"), F.min("dst")).alias("min_id"),
     ).first()
     max_id = row["max_id"]
+    # hash-magnitude ids on EITHER side of zero trip the guard; small
+    # negative ids keep the documented dense-rule semantics (not a vertex,
+    # edge dropped by the label/rank join — tests/test_graph_ops.py)
+    if max_id is not None and (
+        max_id > _DENSE_MAX_ID or row["min_id"] < -_DENSE_MAX_ID
+    ):
+        raise ValueError(
+            "vertices_from_edges: edge ids span "
+            f"[{row['min_id']}, {max_id}], which is not a dense "
+            "0..max_id space (the default vertex rule would generate "
+            "max_id+1 vertex rows). These look like hash ids — derive "
+            'edges with id_mode="dense", or pass an explicit vertices= '
+            "DataFrame to the operator."
+        )
     n = (max_id + 1) if max_id is not None else 0
     return edges.sparkSession.range(n).withColumnRenamed("id", "id")
 

@@ -53,7 +53,13 @@ def k_core(
     converged = False
     while steps < max_iter:
         deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("src")
+        # keep feeds BOTH semi-joins below — persist so the degree
+        # aggregation runs once per round, not once per join side
+        keep = (
+            deg.filter(F.col("deg") >= k)
+            .select("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         # delete every vertex below k simultaneously (synchronous round):
         # an edge survives iff BOTH endpoints survive. keep is shrunken
         # per round — semi-joins, never arrays.
@@ -67,6 +73,7 @@ def k_core(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_next = nxt.count()
+        keep.unpersist()
         steps += 1
         metrics.append(
             {"superstep": steps, "edges": n_next, "removed": n_edges - n_next}

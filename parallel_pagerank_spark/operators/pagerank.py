@@ -81,6 +81,23 @@ def _prepare_weighted_edges(
     """
     aggs = [F.count("*").alias("out_deg")]
     if weight_col is not None:
+        # weights must be strictly positive and non-null: a zero/negative
+        # weight (or a src whose weights sum to 0) would yield null or
+        # negative w = weight/wsum, and null contributions are silently
+        # dropped by the SpMV sum — rank mass lost with no signal. One
+        # cheap column scan, mirroring the teleport-weight validation.
+        wrow = edges.agg(
+            F.min(weight_col).alias("wmin"),
+            F.sum(F.col(weight_col).isNull().cast("long")).alias("nnull"),
+        ).first()
+        if (wrow["nnull"] or 0) > 0 or (
+            wrow["wmin"] is not None and wrow["wmin"] <= 0
+        ):
+            raise ValueError(
+                f"pagerank weight_col={weight_col!r} must be strictly "
+                f"positive and non-null (found min={wrow['wmin']}, "
+                f"nulls={wrow['nnull']})"
+            )
         aggs.append(F.sum(weight_col).alias("wsum"))
     deg = edges.groupBy(F.col("src").alias("id")).agg(*aggs)
     w = edges.join(

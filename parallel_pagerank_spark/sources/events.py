@@ -46,26 +46,35 @@ def event_graph_edges(events: DataFrame) -> DataFrame:
 
 def cooccurrence_edges(events: DataFrame, window: int = 2) -> DataFrame:
     """Canonical (src<dst) co-occurrence pairs: events of the same user at
-    session distance <= ``window`` (row_number over the per-user timeline).
-    Gives a triangle-rich graph (consecutive triples close wedges); the
-    bounded window keeps it linear in input size, never a per-user clique.
+    session distance <= ``window`` positions on the per-user timeline.
+    Gives a triangle-rich graph (consecutive triples close wedges).
+
+    Derivation is ONE window pass: ``lead(event_id, k)`` for k = 1..window
+    over the stable (ts, event_id) order — each event pairs with its next
+    ``window`` successors directly, so the output is linear in input size
+    (|events| × window rows) with NO join. The earlier per-user self-join
+    formulation materialized O(n_u²) candidate pairs per user before the
+    distance filter — a straggler time-bomb once one power user has 10⁶
+    events (10¹² join-loop iterations in a single task); the window form
+    does exactly |events| × window work regardless of per-user skew.
+    Result set is identical (every in-window ordered pair exactly once).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pos = events.select(
-        "user_id",
+    succ = events.select(
         F.col("event_id").alias("id"),
-        F.row_number().over(w).alias("pos"),
+        *[
+            F.lead("event_id", k).over(w).alias(f"_n{k}")
+            for k in range(1, window + 1)
+        ],
     )
-    a = pos.select("user_id", F.col("id").alias("ia"), F.col("pos").alias("pa"))
-    b = pos.select("user_id", F.col("id").alias("ib"), F.col("pos").alias("pb"))
+    other = F.explode(
+        F.array(*[F.col(f"_n{k}") for k in range(1, window + 1)])
+    ).alias("other")
     return (
-        a.join(b, "user_id")
-        .filter(
-            (F.col("pb") > F.col("pa"))
-            & (F.col("pb") - F.col("pa") <= window)
-        )
+        succ.select("id", other)
+        .filter(F.col("other").isNotNull())
         .select(
-            F.least("ia", "ib").alias("src"),
-            F.greatest("ia", "ib").alias("dst"),
+            F.least("id", "other").alias("src"),
+            F.greatest("id", "other").alias("dst"),
         )
     )

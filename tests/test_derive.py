@@ -112,3 +112,29 @@ def test_empty_and_single_turn_conversations(spark):
     df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
     edges = derive_edges(df, id_mode="dense")
     assert edges.count() == 1  # only c2's consecutive pair
+
+
+def test_hash_ids_fail_fast_on_dense_vertex_rule(spark, transcripts):
+    """The flagship composition pagerank(derive_edges(tx)) with the
+    default id_mode="hash" (xxhash64 ids near ±2^63) must raise a clear
+    ValueError from the dense-vertex rule — never attempt a ~10^18-row
+    spark.range or hit the ANSI max_id+1 overflow."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.components import (
+        connected_components,
+    )
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+
+    edges = derive_edges(transcripts, id_mode="hash")
+    with pytest.raises(ValueError, match="id_mode"):
+        pagerank(edges, config=PageRankConfig(max_iter=2))
+    with pytest.raises(ValueError, match="id_mode"):
+        connected_components(edges, max_iter=2)
+    # an explicit vertices= DataFrame opts out of the dense rule and works
+    from parallel_pagerank_spark.operators.derive import turn_vertices
+
+    verts = turn_vertices(transcripts, id_mode="hash").select("id")
+    res = pagerank(
+        edges, vertices=verts, config=PageRankConfig(tol=0.0, max_iter=2)
+    )
+    assert res.iterations == 2

@@ -208,6 +208,29 @@ def test_bucketed_join_zero_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS r_bucketed")
 
 
+def test_cooccurrence_derivation_has_no_join(spark):
+    """Skew safety: the co-occurrence edge derivation must be a pure
+    window pass — lead(id, k) per successor distance — never a per-user
+    self-join (which materializes O(n_u²) candidate pairs per user before
+    the distance filter: one 10⁶-event power user would mean 10¹²
+    join-loop iterations in a single task). This pins the linear
+    formulation feeding triangle_count/clustering_coefficient."""
+    import datetime
+
+    from parallel_pagerank_spark.sources.events import cooccurrence_edges
+
+    ev = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1, 0, i % 60), f"u{i % 3}", "t")
+            for i in range(12)
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string",
+    )
+    plan = _plan(cooccurrence_edges(ev, window=2))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
 def test_components_never_materialize_neighborhood_arrays():
     """Hub safety: the components module must never rebuild a vertex
     neighborhood as one array row (collect_set/collect_list) — a
