@@ -336,7 +336,14 @@ def _q_emb_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup via the LSH scale path: identical vectors
     collide in every SRP table, so on this data (natural max cosine ~0.5,
     injected exact copies at 1.0) LSH output == exact all-pairs — letting
-    the scale path itself be checked against the brute-force SQL oracle."""
+    the scale path itself be checked against the brute-force SQL oracle.
+
+    DATA PRECONDITION (parity, not correctness): the testdata's natural
+    pairs must stay below the 0.9 threshold. If a regenerated dataset
+    ever contains a NATURAL pair >= 0.9, LSH recall < 1 on that pair
+    would surface here as an oracle mismatch — that is a data-precondition
+    violation to re-check first, not an engine regression (the engine's
+    recall behavior is separately gated in tests/test_functions.py)."""
     from parallel_pagerank_spark.functions.dedup import embedding_near_dups
 
     emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
@@ -361,6 +368,75 @@ def _q_doc_quality_score(spark, sf_dir):
     )
 
 
+def _q_k_core(spark, sf_dir):
+    """k=2 core of the window-2 co-occurrence graph with a deterministic
+    ~1/7 of edges removed ((src+dst) % 7 == 0): the unfiltered graph is
+    degree-regular (every vertex already has degree >= 2 — zero peeling),
+    so the filter is what makes the query actually exercise synchronous
+    peeling (measured: 3 rounds at sf0.001, 5 at sf0.01, NON-empty core)
+    while keeping the round count far under the unrolled oracle's depth."""
+    from parallel_pagerank_spark.operators.kcore import k_core
+    from parallel_pagerank_spark.sources.events import cooccurrence_edges
+
+    co = cooccurrence_edges(_events(spark, sf_dir), window=2).filter(
+        (F.col("src") + F.col("dst")) % 7 != 0
+    )
+    return k_core(co, k=2).core
+
+
+def _q_pagerank_personalized20(spark, sf_dir):
+    """Fixed-iteration PERSONALIZED PageRank: deterministic per-vertex
+    teleport weights 1 + id % 5 (integer-valued doubles, so the
+    normalization sum is exact in both engines), 20 power iterations —
+    oracle-checked against the unrolled teleport-vector power iteration.
+    p' = d·(contrib + S·v) + (1−d)·v with v = w / Σw."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.graph import vertices_from_edges
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir))
+    tele = vertices_from_edges(edges).select(
+        "id",
+        (F.lit(1) + F.pmod(F.col("id"), F.lit(5)))
+        .cast("double")
+        .alias("weight"),
+    )
+    res = pagerank(
+        edges, teleport=tele, config=PageRankConfig(tol=0.0, max_iter=20)
+    )
+    return (
+        res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _q_session_window(spark, sf_dir):
+    """Spark-native session_window stats, boundaries exported as exact
+    epoch-MICROsecond longs (the events ts column has sub-second
+    precision; integer microsecond arithmetic is hash-exact across
+    engines, unlike timestamp rendering)."""
+    from parallel_pagerank_spark.functions.sessions import (
+        session_window_stats,
+    )
+
+    sw = session_window_stats(_events(spark, sf_dir), gap="30 minutes")
+    # events.ts is TIMESTAMP_NTZ; the session runs in UTC so the cast to
+    # TIMESTAMP is an identity on the stored microseconds (matches
+    # DuckDB's epoch_us on the same naive value)
+    return sw.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias(
+            "start_us"
+        ),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias(
+            "end_us"
+        ),
+        "n_events",
+    )
+
+
 # rows-only (convergence-driven / hash-based — no single-SQL equivalent;
 # verified against NumPy oracles in tests/):
 #   pagerank_top20     — stops at L1 < 1e-6, iteration count data-dependent
@@ -372,6 +448,10 @@ def _q_doc_quality_score(spark, sf_dir):
 #                        Jaccard / Hamming instead
 #   knn_lsh            — SRP bucket assignment depends on the same numpy
 #                        RNG projections; recall gated in pytest
+#   knn_ivf            — IVF cell assignment comes from a driver-side
+#                        seeded numpy k-means (no DuckDB equivalent of the
+#                        iterative centroid fit); recall vs brute-force
+#                        gated in pytest (tests/test_functions.py)
 
 
 def _q_pagerank_top20(spark, sf_dir):
@@ -442,6 +522,17 @@ def _q_knn_lsh(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, dim=dim, k=5, nbits=6).select(
         "query_id", "neighbor_id", "rnk"
     )
+
+
+def _q_knn_ivf(spark, sf_dir):
+    from parallel_pagerank_spark.functions.similarity import cosine_topk_ivf
+
+    emb = _embeddings(spark, sf_dir)
+    dim = len(emb.first()["embedding"])
+    queries = emb.orderBy("vec_id").limit(8)
+    return cosine_topk_ivf(
+        emb, queries, dim=dim, k=5, n_cells=8, n_probe=3
+    ).select("query_id", "neighbor_id", "rnk")
 
 
 def _q_sessionize(spark, sf_dir):
@@ -522,6 +613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "k_core": _q_k_core,
+        "pagerank_personalized20": _q_pagerank_personalized20,
+        "session_window": _q_session_window,
     }
 
 
@@ -616,7 +711,9 @@ l{k} AS MATERIALIZED (SELECT v.id, coalesce(b.new_label, v.label) AS label
     return "".join(parts)
 
 
-def _pagerank_fixed_sql(iters: int = 20, weighted: bool = False) -> str:
+def _pagerank_fixed_sql(
+    iters: int = 20, weighted: bool = False, personalized: bool = False
+) -> str:
     """Unrolled power iteration mirroring operators/pagerank.py float-op
     for float-op: w = 1.0/out_deg then rank*w (not rank/out_deg), damping
     literals written as 0.85 and (1.0 - 0.85) so both engines parse the
@@ -625,7 +722,12 @@ def _pagerank_fixed_sql(iters: int = 20, weighted: bool = False) -> str:
     weighted=True: edges carry the deterministic weight 1 + (src+dst) % 3
     (integer-valued doubles, so per-src weight sums are EXACT in both
     engines regardless of summation order) and rank flows proportionally
-    to weight/wsum(src) — mirroring pagerank(weight_col=...)."""
+    to weight/wsum(src) — mirroring pagerank(weight_col=...).
+
+    personalized=True: per-vertex teleport vector v = w / Σw with
+    w = 1 + id % 5 (integer-valued doubles, Σw exact in both engines);
+    init p = v, update p' = 0.85·(contrib + S·v) + (1.0-0.85)·v —
+    mirroring pagerank(teleport=...)."""
     wedges_cte = """,
 wedges AS MATERIALIZED (
   SELECT src, dst, (1 + (src + dst) % 3)::DOUBLE AS weight FROM edges)"""
@@ -642,13 +744,30 @@ wedges AS MATERIALIZED (
         if weighted
         else "sum(p.rank * (1.0 / g.out_deg))"
     )
+    tele_cte = """,
+tw AS MATERIALIZED (SELECT id, (1 + id % 5)::DOUBLE AS w FROM verts),
+tele AS MATERIALIZED (
+  SELECT id, w / (SELECT sum(w) FROM tw) AS tele FROM tw)"""
+    if personalized:
+        p0_cte = (
+            "p0 AS MATERIALIZED (SELECT t.id, t.tele, t.tele AS rank "
+            "FROM tele t)"
+        )
+        tele_of = "v.tele"
+    else:
+        p0_cte = (
+            "p0 AS MATERIALIZED (SELECT v.id, "
+            "(SELECT inv_n FROM params) AS rank FROM verts v)"
+        )
+        tele_of = "(SELECT inv_n FROM params)"
+    carry = ", v.tele" if personalized else ""
     parts = [f"""WITH {_EDGES_MAT_CTE}{wedges_cte if weighted else ""},
 params AS MATERIALIZED (SELECT greatest(max(src), max(dst)) + 1 AS n,
                   1.0 / (greatest(max(src), max(dst)) + 1) AS inv_n
            FROM edges),
 verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params),
-{deg_cte},
-p0 AS MATERIALIZED (SELECT v.id, (SELECT inv_n FROM params) AS rank FROM verts v),
+{deg_cte}{tele_cte if personalized else ""},
+{p0_cte},
 d0 AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
        FROM p0 p LEFT JOIN deg g ON g.id = p.id WHERE g.id IS NULL)"""]
     prev_p, prev_d = "p0", "d0"
@@ -659,11 +778,11 @@ c{k} AS MATERIALIZED (SELECT e.dst AS id, {contrib_expr} AS contrib
          JOIN {prev_p} p ON p.id = e.src
          JOIN deg g ON g.id = e.src
          GROUP BY e.dst),
-p{k} AS MATERIALIZED (SELECT v.id,
+p{k} AS MATERIALIZED (SELECT v.id{carry},
                 0.85 * (coalesce(c.contrib, 0.0)
                         + (SELECT ds FROM {prev_d})
-                          * (SELECT inv_n FROM params))
-                + (1.0 - 0.85) * (SELECT inv_n FROM params) AS rank
+                          * {tele_of})
+                + (1.0 - 0.85) * {tele_of} AS rank
          FROM {prev_p} v LEFT JOIN c{k} c ON c.id = v.id),
 d{k} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
          FROM p{k} p LEFT JOIN deg g ON g.id = p.id WHERE g.id IS NULL)""")
@@ -671,6 +790,42 @@ d{k} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
     parts.append(
         f"\nSELECT id, round(rank, 9) AS rank FROM {prev_p} "
         "ORDER BY rank DESC, id ASC LIMIT 20"
+    )
+    return "".join(parts)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled synchronous k-core peeling over the mod-7-filtered
+    window-2 co-occurrence graph (same machinery as _cc_sql): per round
+    one degree aggregation + edge filter keeping only edges whose BOTH
+    endpoints have degree >= k. Fixpoints are stable, so unrolling past
+    the engine's measured convergence (5 rounds at sf0.01) is harmless;
+    an insufficient depth would surface as a value mismatch, never a
+    silent wrong-match."""
+    parts = [f"""WITH
+pos AS MATERIALIZED (
+  SELECT user_id, event_id AS id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+co AS MATERIALIZED (
+  SELECT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
+  FROM pos a JOIN pos b
+    ON a.user_id = b.user_id AND b.pos > a.pos AND b.pos - a.pos <= 2),
+canon AS MATERIALIZED (SELECT DISTINCT u, v FROM co WHERE u <> v),
+filt AS MATERIALIZED (SELECT u, v FROM canon WHERE (u + v) % 7 <> 0),
+s0 AS MATERIALIZED (
+  SELECT u, v FROM filt UNION ALL SELECT v, u FROM filt)"""]
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM {prev} GROUP BY u),
+s{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN d{r} a ON a.id = e.u AND a.deg >= {k}
+  JOIN d{r} b ON b.id = e.v AND b.deg >= {k})""")
+        prev = f"s{r}"
+    parts.append(
+        f"\nSELECT u AS id, count(*) AS core_deg FROM {prev} GROUP BY u"
     )
     return "".join(parts)
 
@@ -867,6 +1022,26 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         "label_propagation": _lpa_sql(),
         "pagerank_fixed20": _pagerank_fixed_sql(),
         "pagerank_weighted20": _pagerank_fixed_sql(weighted=True),
+        "pagerank_personalized20": _pagerank_fixed_sql(personalized=True),
+        "k_core": _kcore_sql(),
+        "session_window": """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events),
+sess AS (
+  SELECT user_id, us,
+         sum(CASE WHEN prev_us IS NULL
+                    OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered)
+SELECT user_id, min(us) AS start_us,
+       max(us) + 1800000000 AS end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
         "clustering_coefficient": _clustering_sql(),
         "isolated_count": (
             f"WITH {_EDGES_CTE} "

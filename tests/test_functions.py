@@ -260,6 +260,37 @@ def test_ivf_assign(spark, embeddings):
     }
 
 
+def test_cosine_topk_ivf_recall(spark, embeddings):
+    """IVF probe path: top-k within probed cells only; with n_probe close
+    to n_cells the result approaches exact, and probing ALL cells must
+    reproduce brute force exactly (every candidate scored)."""
+    from parallel_pagerank_spark.functions.similarity import cosine_topk_ivf
+
+    corpus = embeddings.limit(200).cache()
+    queries = corpus.limit(10)
+    dim = len(corpus.first()["embedding"])
+    exact_rows = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_rows = cosine_topk_ivf(
+        corpus, queries, dim=dim, k=5, n_cells=8, n_probe=4
+    ).collect()
+    approx = {}
+    for r in approx_rows:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.3, f"recall {hits}/{total}"
+    # probing every cell == scoring the full corpus == brute force
+    full_rows = cosine_topk_ivf(
+        corpus, queries, dim=dim, k=5, n_cells=8, n_probe=8
+    ).collect()
+    full = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in full_rows}
+    want = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in exact_rows}
+    assert full == want
+
+
 def test_multimodal_plumbing(spark):
     from parallel_pagerank_spark.functions.multimodal import (
         image_features,
