@@ -26,7 +26,12 @@ Physical layout (SURVEY.md §4.3):
 - lineage/plan growth is truncated every ``checkpoint_interval`` supersteps
   by a parquet round-trip; with a configured checkpoint_dir those parquet
   snapshots double as the durable resume points (JSON manifest with
-  per-partition lineage + metrics, north rule).
+  per-partition lineage + metrics, north rule). The interval is a real
+  knob: ranks feed BOTH the gather join and the update join, so the
+  un-truncated logical plan DOUBLES per superstep — driver-side Catalyst
+  analysis is O(2^interval) between truncations (measured: interval 7 ≈
+  6× the per-superstep driver cost of interval 5 on a tiny graph where
+  analysis dominates). Keep it small; 5 is the default.
 """
 
 from __future__ import annotations

@@ -58,8 +58,11 @@ def cooccurrence_edges(events: DataFrame, window: int = 2) -> DataFrame:
     events (10¹² join-loop iterations in a single task); the window form
     does exactly |events| × window work regardless of per-user skew.
     Result set is identical (every in-window ordered pair exactly once).
+    NULL-user events are dropped (the window would otherwise group them
+    as one pseudo-user, unlike the join-based SQL oracle formulation).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = events.filter(F.col("user_id").isNotNull())
     succ = events.select(
         F.col("event_id").alias("id"),
         *[

@@ -240,7 +240,7 @@ def test_triangle_methods_agree_random_graphs(spark, edges):
     _edges_strategy,
     st.lists(st.integers(1, 5), min_size=40, max_size=40),
 )
-@settings(**_SETTINGS)
+@settings(**{**_SETTINGS, "max_examples": 4})
 def test_weighted_pagerank_random_graphs(spark, edges, wpool):
     """Weighted PageRank == the weighted oracle for arbitrary graphs and
     positive integer weights (ranks + iteration count)."""
