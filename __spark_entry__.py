@@ -579,6 +579,174 @@ def _q_doc_shingles(spark, sf_dir):
     )
 
 
+
+def _q_hits10(spark, sf_dir):
+    """Fixed-iteration HITS (10 rounds, L1-normalized — see
+    operators/hits.py): top-20 authorities with their hub scores, rounded
+    to 9 decimals to absorb cross-engine summation-order float noise;
+    ORDER BY the rounded value so the limit-20 cutoff is deterministic in
+    both engines."""
+    from parallel_pagerank_spark.operators.hits import hits
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    res = hits(event_graph_edges(_events(spark, sf_dir)), max_iter=10)
+    s = res.scores.select(
+        "id",
+        F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"),
+    )
+    return s.orderBy(F.desc("authority"), F.asc("id")).limit(20)
+
+
+def _q_bfs_distance(spark, sf_dir):
+    """Bounded multi-source BFS (8 hops) from the deterministic source set
+    event_id % 97 == 0, over the directed reply∪handoff graph; reports
+    the hop-distance histogram. All-integer — hash-exact vs the unrolled
+    8-round frontier chain."""
+    from parallel_pagerank_spark.operators.bfs import (
+        bfs_distances,
+        distance_histogram,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir)
+    sources = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    res = bfs_distances(event_graph_edges(ev), sources, max_hops=8)
+    return distance_histogram(res)
+
+
+def _q_doc_tfidf(spark, sf_dir):
+    """Full per-(doc, term) TF-IDF table (no top-k: rank-free output keeps
+    the comparison order-insensitive, so cross-engine ln() ulp noise
+    cannot flip a cutoff — values themselves are rounded to 6)."""
+    from parallel_pagerank_spark.functions.text import tf_idf
+
+    out = tf_idf(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id", "term", "tf", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+def _q_doc_dedup_map(spark, sf_dir):
+    from parallel_pagerank_spark.functions.dedup import exact_dedup_mapping
+
+    return exact_dedup_mapping(_documents(spark, sf_dir))
+
+
+def _q_emb_centroids(spark, sf_dir):
+    from parallel_pagerank_spark.functions.similarity import (
+        embedding_centroids,
+    )
+
+    c = embedding_centroids(_embeddings(spark, sf_dir))
+    return c.select(
+        F.col("group").alias("label"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round("centroid_val", 6).alias("centroid_val"),
+        "n_vectors",
+    )
+
+
+def _q_sssp_bounded(spark, sf_dir):
+    """Bounded weighted SSSP (6 Bellman-Ford rounds — operators/paths.py)
+    from the deterministic source set event_id % 97 == 0, over the
+    reply∪handoff graph with deterministic integer-valued weights
+    1 + (src+dst) % 5. Integer weights make every min-plus sum exact in
+    IEEE double, so the full reached set is hash-exact vs the unrolled
+    dense-relaxation oracle (no rounding needed)."""
+    from parallel_pagerank_spark.operators.paths import sssp_distances
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir)
+    edges = event_graph_edges(ev).select(
+        "src",
+        "dst",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5)))
+        .cast("double")
+        .alias("w"),
+    )
+    sources = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    res = sssp_distances(edges, sources, weight_col="w", max_rounds=6)
+    return res.distances
+
+
+def _q_reciprocity(spark, sf_dir):
+    from parallel_pagerank_spark.operators.stats import reciprocity
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    r = reciprocity(event_graph_edges(_events(spark, sf_dir)))
+    return r.select(
+        "n_edges", "n_reciprocal", F.round("reciprocity", 9).alias("reciprocity")
+    )
+
+
+def _q_assortativity(spark, sf_dir):
+    """Out-in degree assortativity of the reply∪handoff graph, rounded to
+    6 decimals (corr accumulates float sums whose order differs across
+    engines)."""
+    from parallel_pagerank_spark.operators.stats import degree_assortativity
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    a = degree_assortativity(event_graph_edges(_events(spark, sf_dir)))
+    return a.select(
+        "n_edges", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def _q_component_sizes(spark, sf_dir):
+    """Component-size distribution (size, n_components) on top of the
+    same LSSS labeling the connected_components row checks — verifies
+    the labeling is consistent at the histogram level too."""
+    from parallel_pagerank_spark.operators.components import (
+        large_star_small_star,
+    )
+    from parallel_pagerank_spark.operators.stats import (
+        component_size_distribution,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    res = large_star_small_star(event_graph_edges(_events(spark, sf_dir)))
+    return component_size_distribution(res.components)
+
+
+def _q_tool_stats(spark, sf_dir):
+    """Per-tool activity profile; mean_value rounded to 6 (float sum
+    order differs across engines), timestamps as exact epoch micros."""
+    from parallel_pagerank_spark.sources.events import tool_stats
+
+    t = tool_stats(_events(spark, sf_dir))
+    return t.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        "first_us",
+        "last_us",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+def _q_conv_stats(spark, sf_dir):
+    from parallel_pagerank_spark.sources.events import conversation_stats
+
+    return conversation_stats(_events(spark, sf_dir))
+
+
+def _q_top_terms(spark, sf_dir):
+    """Top-50 vocabulary terms by document frequency; the (df, total_tf,
+    term) order key is all-integer/lexicographic, so the cutoff is
+    deterministic in both engines."""
+    from parallel_pagerank_spark.functions.text import term_stats
+
+    t = term_stats(_documents(spark, sf_dir))
+    return t.orderBy(
+        F.desc("df"), F.desc("total_tf"), F.asc("term")
+    ).limit(50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -617,6 +785,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": _q_k_core,
         "pagerank_personalized20": _q_pagerank_personalized20,
         "session_window": _q_session_window,
+        "hits10": _q_hits10,
+        "bfs_distance": _q_bfs_distance,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_dedup_map": _q_doc_dedup_map,
+        "emb_centroids": _q_emb_centroids,
+        "sssp_bounded": _q_sssp_bounded,
+        "reciprocity": _q_reciprocity,
+        "assortativity": _q_assortativity,
+        "component_sizes": _q_component_sizes,
+        "tool_stats": _q_tool_stats,
+        "conv_stats": _q_conv_stats,
+        "top_terms": _q_top_terms,
     }
 
 
@@ -659,7 +839,7 @@ verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params)
 """
 
 
-def _cc_sql(rounds: int = 16) -> str:
+def _cc_sql(rounds: int = 16, final: str | None = None) -> str:
     """Min-label connected components: per round one 'hook' (take the min
     label over the closed neighborhood) and two 'compress' pointer jumps
     (label <- label of the vertex the label names) — the public
@@ -680,6 +860,8 @@ l{k} AS MATERIALIZED (SELECT a.id, b.lbl FROM c{k} a JOIN c{k} b ON b.id = a.lbl
     parts.append(
         f"\nSELECT lbl AS component, count(*) AS size FROM {prev} "
         "GROUP BY lbl ORDER BY size DESC, component ASC"
+        if final is None
+        else f"\n{final.format(labels=prev)}"
     )
     return "".join(parts)
 
@@ -828,6 +1010,88 @@ s{r} AS MATERIALIZED (
         f"\nSELECT u AS id, count(*) AS core_deg FROM {prev} GROUP BY u"
     )
     return "".join(parts)
+
+
+def _hits_sql(iters: int = 10) -> str:
+    """Unrolled L1-normalized HITS mirroring operators/hits.py float-op
+    for float-op: sparse uniform start over distinct sources
+    (1.0/count(srcs)), per half-step one gather sum then a divide by the
+    half-step total; dense vertex set joined back only at the end."""
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+params AS MATERIALIZED (SELECT greatest(max(src), max(dst)) + 1 AS n FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params),
+srcs AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+h0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT count(*) FROM srcs) AS hub FROM srcs)"""]
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+ar{k} AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub) AS s
+         FROM edges e JOIN {prev_h} h ON h.id = e.src GROUP BY e.dst),
+a{k} AS MATERIALIZED (SELECT id, s / (SELECT sum(s) FROM ar{k}) AS authority
+         FROM ar{k}),
+hr{k} AS MATERIALIZED (SELECT e.src AS id, sum(a.authority) AS s
+         FROM edges e JOIN a{k} a ON a.id = e.dst GROUP BY e.src),
+h{k} AS MATERIALIZED (SELECT id, s / (SELECT sum(s) FROM hr{k}) AS hub
+         FROM hr{k})""")
+        prev_h = f"h{k}"
+    parts.append(f"""
+SELECT v.id, round(coalesce(h.hub, 0.0), 9) AS hub,
+       round(coalesce(a.authority, 0.0), 9) AS authority
+FROM verts v
+LEFT JOIN h{iters} h ON h.id = v.id
+LEFT JOIN a{iters} a ON a.id = v.id
+ORDER BY authority DESC, v.id ASC LIMIT 20""")
+    return "".join(parts)
+
+
+def _bfs_sql(rounds: int = 8) -> str:
+    """Unrolled bounded multi-source BFS (operators/bfs.py semantics):
+    settled set grows by the anti-joined one-hop frontier each round.
+    All-integer, so the comparison is hash-exact; monotone relaxation
+    means unrolling exactly max_hops rounds reproduces the engine's
+    bounded result even when the graph is not exhausted."""
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+s0 AS MATERIALIZED (SELECT DISTINCT event_id AS id, 0::BIGINT AS dist
+       FROM events WHERE event_id % 97 = 0),
+f0 AS MATERIALIZED (SELECT id FROM s0)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+         FROM edges e JOIN f{k - 1} f ON f.id = e.src),
+f{k} AS MATERIALIZED (SELECT c.id FROM c{k} c
+         LEFT JOIN s{k - 1} s ON s.id = c.id WHERE s.id IS NULL),
+s{k} AS MATERIALIZED (SELECT id, dist FROM s{k - 1}
+         UNION ALL SELECT id, {k}::BIGINT AS dist FROM f{k})""")
+    parts.append(f"""
+SELECT dist, count(*) AS n_vertices FROM s{rounds} GROUP BY dist
+ORDER BY dist""")
+    return "".join(parts)
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    """Unrolled dense Bellman-Ford relaxation (operators/paths.py
+    semantics): d_k(v) = min(d_{k-1}(v), min over edges (u,v) of
+    d_{k-1}(u) + w). The engine's frontier optimization computes the
+    identical prefix (a non-improved u contributes nothing new), and the
+    integer-valued weights make every double sum/min exact, so the
+    comparison is hash-exact without rounding."""
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+we AS MATERIALIZED (SELECT src, dst,
+       (1 + (src + dst) % 5)::DOUBLE AS w FROM edges),
+d0 AS MATERIALIZED (SELECT DISTINCT event_id AS id, 0.0::DOUBLE AS dist
+       FROM events WHERE event_id % 97 = 0)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+d{k} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.w AS dist
+      FROM we e JOIN d{k - 1} d ON d.id = e.src
+  ) GROUP BY id)""")
+    parts.append(f"""
+SELECT id, dist FROM d{rounds}""")
+    return "".join(parts)
+
 
 
 # canonical undirected simple edges of the window-2 cooccurrence graph —
@@ -1121,5 +1385,83 @@ SELECT query_id, neighbor_id, rnk FROM (
                             ORDER BY cos DESC, neighbor_id) AS rnk
   FROM scored)
 WHERE rnk <= 5
+""",
+        "hits10": _hits_sql(),
+        "bfs_distance": _bfs_sql(),
+        "doc_tfidf": f"""
+WITH norm AS (SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       round(tf.tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+FROM tf JOIN df USING (term) CROSS JOIN n
+""",
+        "doc_dedup_map": (
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY "
+            f"coalesce({_NORM_TEXT_SQL}, '')) AS keep_id FROM documents"
+        ),
+        "emb_centroids": """
+WITH dims AS (
+  SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings)))::BIGINT
+    AS pos)
+SELECT e.label, d.pos,
+       round(avg(e.embedding[d.pos + 1]::DOUBLE), 6) AS centroid_val,
+       count(*) AS n_vectors
+FROM embeddings e CROSS JOIN dims d
+WHERE e.embedding IS NOT NULL AND d.pos < len(e.embedding)
+GROUP BY e.label, d.pos
+""",
+        "sssp_bounded": _sssp_sql(),
+        "reciprocity": f"""
+WITH {_EDGES_MAT_CTE},
+d AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+n AS (SELECT count(*) AS n_edges FROM d),
+r AS (SELECT count(*) AS n_reciprocal
+      FROM d a JOIN d b ON b.src = a.dst AND b.dst = a.src)
+SELECT n.n_edges, r.n_reciprocal,
+       round(r.n_reciprocal / n.n_edges::DOUBLE, 9) AS reciprocity
+FROM n CROSS JOIN r
+""",
+        "assortativity": f"""
+WITH {_EDGES_MAT_CTE},
+od AS (SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src),
+ind AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY dst)
+SELECT count(*) AS n_edges,
+       round(corr(od.out_deg::DOUBLE, ind.in_deg::DOUBLE), 6)
+         AS assortativity
+FROM edges e JOIN od ON od.id = e.src JOIN ind ON ind.id = e.dst
+""",
+        "component_sizes": _cc_sql(
+            final="SELECT size, count(*) AS n_components FROM "
+            "(SELECT lbl, count(*) AS size FROM {labels} GROUP BY lbl) "
+            "GROUP BY size"
+        ),
+        "tool_stats": """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       epoch_us(min(ts)) AS first_us,
+       epoch_us(max(ts)) AS last_us,
+       round(avg(value), 6) AS mean_value
+FROM events GROUP BY event_type
+""",
+        "conv_stats": """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       epoch_us(min(ts)) AS start_us,
+       epoch_us(max(ts)) AS end_us,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM events GROUP BY user_id
+""",
+        "top_terms": f"""
+WITH norm AS (SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY doc_id, term)
+SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf
+FROM tf GROUP BY term
+ORDER BY df DESC, total_tf DESC, term ASC LIMIT 50
 """,
     }

@@ -99,6 +99,30 @@ def exact_dedup(
     )
 
 
+def exact_dedup_mapping(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonicalization companion to exact_dedup: every document mapped to
+    the id that survives dedup — ``(doc_id, keep_id)`` with keep_id =
+    min id over the exact-content group (keep_id == doc_id for uniques
+    and group representatives).
+
+    Same scale shape as exact_dedup: ONE hash-shuffle on the 64-bit
+    content fingerprint (a window min over the fingerprint partition),
+    never on the full text."""
+    from pyspark.sql import Window
+
+    fp = F.xxhash64(_normalized(F.col(text_col)))
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .select(
+            F.col(id_col),
+            F.min(id_col).over(w).alias("keep_id"),
+        )
+    )
+
+
 def char_shingles(text_col, n: int = 5) -> "F.Column":
     """Distinct character n-gram shingles as an array<string>; generated
     JVM-side (sequence + transform), no Python."""

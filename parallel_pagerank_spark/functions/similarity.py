@@ -326,3 +326,32 @@ def cosine_topk_ivf(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def embedding_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid of an embedding column, in LONG form:
+    ``(group, pos, centroid_val, n_vectors)`` — one row per (group,
+    dimension). Long form keeps the whole computation a single built-in
+    groupBy (posexplode → avg, whole-stage codegen, one shuffle on
+    (group, pos)); the wide array form is a trivial collect_list away
+    for callers that want it, and long form is what the IVF coarse
+    quantizer and per-cluster diagnostics actually consume.
+
+    NULL vectors contribute no rows (posexplode drops them), matching
+    SQL AVG's null handling."""
+    return (
+        emb.select(
+            F.col(group_col).alias("group"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        .groupBy("group", "pos")
+        .agg(
+            F.avg(F.col("val").cast("double")).alias("centroid_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )

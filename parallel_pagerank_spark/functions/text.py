@@ -186,3 +186,74 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(text_col).alias("lang_guess"),
         document_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def term_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary table over whitespace tokens of the canonical
+    normalized text: ``(term, df, total_tf)`` — document frequency and
+    total occurrence count per term. The df side of tf_idf exposed as
+    its own operator (vocabulary audits, stopword discovery, top-terms
+    reporting).
+
+    Scale shape: explode → one shuffle on (doc, term) to collapse
+    per-doc repeats, then one on term; the result is |vocabulary| rows,
+    orders of magnitude smaller than the corpus."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    return per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("total_tf")
+    )
+
+
+def tf_idf(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF over whitespace tokens of the canonical
+    normalized text: ``(doc_id, term, tf, tfidf)``.
+
+    Standard smooth formulation (as popularized by scikit-learn's
+    TfidfTransformer docs): idf(t) = ln((1+N)/(1+df(t))) + 1, tfidf =
+    tf · idf — never zero, no division by zero, no per-row Python.
+
+    Scale shape: explode → ONE shuffle on (doc, term) for tf, ONE
+    aggregation on term for df (tiny result: |vocabulary| rows), then a
+    BROADCAST join of the df table back onto tf — the vocabulary is
+    orders of magnitude smaller than the corpus, so the big side never
+    reshuffles. N comes in via a broadcast 1-row cross join, keeping the
+    whole computation one lazy plan (no driver-side count action).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "term"
+        ),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("tfidf"),
+        )
+    )

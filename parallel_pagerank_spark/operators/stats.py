@@ -163,6 +163,78 @@ def rank_histogram(
     )
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row ``(n_edges, n_reciprocal, reciprocity)``: the fraction of
+    distinct directed edges whose reverse edge also exists (networkx
+    ``overall_reciprocity`` semantics — self-loops are their own reverse
+    and count as reciprocal; multi-edges collapse first).
+
+    Scale shape: dedup is one shuffle on (src, dst); the reverse-edge
+    probe is a self left-semi join on the same pair key, so with the
+    dedup output re-keyed the probe co-partitions — no per-vertex
+    neighborhood arrays, no driver state."""
+    d = edges.select("src", "dst").distinct()
+    rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = d.join(rev, ["src", "dst"], "left_semi")
+    return (
+        d.agg(F.count("*").alias("n_edges"))
+        .crossJoin(
+            F.broadcast(recip.agg(F.count("*").alias("n_reciprocal")))
+        )
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            (
+                F.col("n_reciprocal")
+                / F.col("n_edges").cast("double")
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """One-row out-in degree assortativity: the Pearson correlation of
+    (out-degree of src, in-degree of dst) sampled once per directed edge
+    (multi-edges kept — each edge is one sample), the x='out', y='in'
+    variant of networkx ``degree_assortativity_coefficient``.
+
+    Scale shape: two degree aggregations (|V|-row tables) joined back
+    onto the edge list on its natural keys, then one ``corr`` aggregate —
+    the edge table is never self-joined and never reshuffled twice on
+    the same key. Single-edge graphs (zero variance) yield NULL, like
+    SQL corr."""
+    od = out_degrees(edges).withColumnRenamed("id", "src")
+    ind = in_degrees(edges).withColumnRenamed("id", "dst")
+    return (
+        edges.select("src", "dst")
+        .join(od, "src")
+        .join(ind, "dst")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.corr(
+                F.col("out_deg").cast("double"),
+                F.col("in_deg").cast("double"),
+            ).alias("assortativity"),
+        )
+        .select("n_edges", "assortativity")
+    )
+
+
+def component_size_distribution(components: DataFrame) -> DataFrame:
+    """``(size, n_components)`` over a per-vertex labeling ``(id,
+    component)`` (operators/components.py output): how many components
+    have each size — the standard giant-component diagnostic.
+
+    Two aggregations: one shuffle on the component label (map-side
+    partial counts), then one on the |components|-row size table."""
+    return (
+        components.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_components"))
+    )
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """``(id, triangles, degree, coefficient)`` — local clustering
     coefficient over the undirected simple graph: triangles /

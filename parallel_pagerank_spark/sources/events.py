@@ -44,6 +44,45 @@ def event_graph_edges(events: DataFrame) -> DataFrame:
     return reply_edges(events).unionByName(handoff_edges(events))
 
 
+def tool_stats(events: DataFrame) -> DataFrame:
+    """Per-tool (event_type) activity profile: ``(event_type, n_events,
+    n_users, first_us, last_us, mean_value)`` — the per-tool half of a
+    transcript-traffic dashboard. Timestamps export as exact epoch
+    microseconds (integer — hash-stable across engines, unlike rendered
+    timestamps).
+
+    One aggregation, one shuffle on event_type; n_users is an exact
+    distinct inside the group (partial aggregation still applies)."""
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
+        F.avg("value").alias("mean_value"),
+    )
+
+
+def conversation_stats(events: DataFrame) -> DataFrame:
+    """Per-conversation (user_id) profile: ``(user_id, n_events,
+    n_event_types, start_us, end_us, duration_us)`` — length and span of
+    each transcript timeline. Same single-aggregation shape as
+    tool_stats; duration is integer microsecond arithmetic."""
+    agg = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("end_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_event_types",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+    )
+
+
 def cooccurrence_edges(events: DataFrame, window: int = 2) -> DataFrame:
     """Canonical (src<dst) co-occurrence pairs: events of the same user at
     session distance <= ``window`` positions on the per-user timeline.
