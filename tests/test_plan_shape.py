@@ -244,3 +244,21 @@ def test_components_never_materialize_neighborhood_arrays():
         / "parallel_pagerank_spark" / "operators" / "components.py"
     ).read_text()
     assert "F.collect_set(" not in src and "F.collect_list(" not in src
+
+
+def test_superstep_loops_truncate_lineage():
+    """Plan-growth safety: hits/bfs/paths update loop state from
+    expressions that reference the PREVIOUS round's state twice (data +
+    total, or settled + anti-join), so an un-truncated logical plan
+    DOUBLES per round and driver-side Catalyst analysis goes exponential
+    (the hazard documented at operators/pagerank.py:26-31; observed as a
+    multi-minute hang by iteration ~10 before the localCheckpoint fix).
+    This pins eager localCheckpoint truncation inside each loop body."""
+    import pathlib
+
+    ops = pathlib.Path(__file__).resolve().parent.parent / (
+        "parallel_pagerank_spark"
+    ) / "operators"
+    for mod in ("hits.py", "bfs.py", "paths.py"):
+        src = (ops / mod).read_text()
+        assert "localCheckpoint(eager=True)" in src, mod
