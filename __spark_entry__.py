@@ -747,6 +747,70 @@ def _q_top_terms(spark, sf_dir):
     ).limit(50)
 
 
+def _q_cocitation(spark, sf_dir):
+    """Co-citation pairs (Small '73): events whose pages share a citing
+    src in the reply∪handoff graph — all-integer, hash-exact. The
+    degree cap (operators/linkanalysis.py) is never hit at this SF
+    (out-degrees ≤ 2), so the oracle applies the same cap harmlessly."""
+    from parallel_pagerank_spark.operators.linkanalysis import (
+        common_neighbor_pairs,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return common_neighbor_pairs(
+        event_graph_edges(_events(spark, sf_dir)), mode="cocitation"
+    )
+
+
+def _q_coupling(spark, sf_dir):
+    """Bibliographic-coupling pairs (Kessler '63): events sharing a cited
+    dst — the in-direction dual of cocitation."""
+    from parallel_pagerank_spark.operators.linkanalysis import (
+        common_neighbor_pairs,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return common_neighbor_pairs(
+        event_graph_edges(_events(spark, sf_dir)), mode="coupling"
+    )
+
+
+def _q_walks8(spark, sf_dir):
+    """Deterministic 8-hop walks (operators/walks.py min-selector — pure
+    modular arithmetic, so both engines pick identical hops) from the
+    same source set the BFS row uses; all-integer rows, hash-exact."""
+    from parallel_pagerank_spark.operators.walks import deterministic_walks
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir)
+    sources = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    res = deterministic_walks(
+        event_graph_edges(ev), sources, walk_length=8
+    )
+    return res.walks
+
+
+def _q_walk_transitions(spark, sf_dir):
+    """Edge-traversal counts across the walks8 corpus — the skip-gram
+    co-occurrence statistics an embedding trainer consumes."""
+    from parallel_pagerank_spark.operators.walks import (
+        deterministic_walks,
+        walk_transitions,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir)
+    sources = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    res = deterministic_walks(
+        event_graph_edges(ev), sources, walk_length=8
+    )
+    return walk_transitions(res)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -797,6 +861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_stats": _q_tool_stats,
         "conv_stats": _q_conv_stats,
         "top_terms": _q_top_terms,
+        "cocitation": _q_cocitation,
+        "coupling": _q_coupling,
+        "walks8": _q_walks8,
+        "walk_transitions": _q_walk_transitions,
     }
 
 
@@ -1065,6 +1133,58 @@ s{k} AS MATERIALIZED (SELECT id, dist FROM s{k - 1}
     parts.append(f"""
 SELECT dist, count(*) AS n_vertices FROM s{rounds} GROUP BY dist
 ORDER BY dist""")
+    return "".join(parts)
+
+
+def _common_pairs_sql(mode: str) -> str:
+    """Co-citation / coupling pairs (operators/linkanalysis.py semantics,
+    same degree_cap=1000 — unreached at driver SFs, applied anyway so the
+    formulas match exactly)."""
+    k, x = ("src", "dst") if mode == "cocitation" else ("dst", "src")
+    return f"""WITH {_EDGES_MAT_CTE},
+kv AS MATERIALIZED (SELECT DISTINCT {k} AS k, {x} AS x FROM edges
+     WHERE {k} <> {x}),
+keep AS MATERIALIZED (
+  SELECT kv.k, kv.x FROM kv
+  JOIN (SELECT k FROM kv GROUP BY k HAVING count(*) <= 1000) d
+    ON d.k = kv.k)
+SELECT a.x AS u, b.x AS v, count(*) AS n_common
+FROM keep a JOIN keep b ON a.k = b.k AND a.x < b.x
+GROUP BY a.x, b.x"""
+
+
+def _walks_sql(rounds: int = 8, transitions: bool = False) -> str:
+    """Unrolled deterministic walks (operators/walks.py): each round
+    picks, per walk, the out-neighbor minimizing the modular selector
+    (31·(dst%M) + 17·(cur%M) + 7·t) % M with min-dst tie-break — pure
+    integer arithmetic both engines compute bit-identically. A walk at a
+    sink simply produces no row in later rounds (inner join)."""
+    m = 1_000_003
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+h0 AS MATERIALIZED (SELECT DISTINCT event_id AS walk_id,
+       event_id AS vertex FROM events WHERE event_id % 97 = 0)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+h{k} AS MATERIALIZED (SELECT walk_id, vertex FROM (
+    SELECT p.walk_id, e.dst AS vertex,
+           row_number() OVER (PARTITION BY p.walk_id ORDER BY
+             (31 * (e.dst % {m}) + 17 * (p.vertex % {m}) + 7 * {k}) % {m},
+             e.dst) AS rn
+    FROM h{k - 1} p JOIN de e ON p.vertex = e.src) WHERE rn = 1)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {k}::BIGINT AS step, vertex FROM h{k}"
+        for k in range(rounds + 1)
+    )
+    if not transitions:
+        parts.append("\n" + union)
+    else:
+        parts.append(f""",
+allrows AS MATERIALIZED ({union})
+SELECT a.vertex AS src, b.vertex AS dst, count(*) AS n_walks
+FROM allrows a JOIN allrows b
+  ON a.walk_id = b.walk_id AND b.step = a.step + 1
+GROUP BY a.vertex, b.vertex""")
     return "".join(parts)
 
 
@@ -1464,4 +1584,8 @@ SELECT term, count(*) AS df, sum(tf)::BIGINT AS total_tf
 FROM tf GROUP BY term
 ORDER BY df DESC, total_tf DESC, term ASC LIMIT 50
 """,
+        "cocitation": _common_pairs_sql("cocitation"),
+        "coupling": _common_pairs_sql("coupling"),
+        "walks8": _walks_sql(8),
+        "walk_transitions": _walks_sql(8, transitions=True),
     }

@@ -210,6 +210,33 @@ def child_headline() -> None:
             emb, emb.orderBy("vec_id").limit(8), k=10
         ).count(),
     )
+    from parallel_pagerank_spark.operators.bfs import bfs_distances
+    from parallel_pagerank_spark.operators.hits import hits
+    from parallel_pagerank_spark.operators.paths import sssp_distances
+
+    bfs_sources = events.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    q("hits_10", lambda: hits(edges, max_iter=10).scores.count())
+    q(
+        "bfs_8",
+        lambda: bfs_distances(
+            edges, bfs_sources, max_hops=8
+        ).distances.count(),
+    )
+    wedges = edges.select(
+        "src",
+        "dst",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5)))
+        .cast("double")
+        .alias("w"),
+    )
+    q(
+        "sssp_6",
+        lambda: sssp_distances(
+            wedges, bfs_sources, weight_col="w", max_rounds=6
+        ).distances.count(),
+    )
     print(
         json.dumps(
             {
