@@ -811,6 +811,53 @@ def _q_walk_transitions(spark, sf_dir):
     return walk_transitions(res)
 
 
+def _q_nbhd_sketch4(spark, sf_dir):
+    """Per-vertex FM ball sketches after 4 supersteps
+    (operators/neighborhood.py — HyperBall with deterministic
+    Flajolet-Martin registers, so every register is reproducible integer
+    arithmetic and the unrolled bit_or oracle hash-matches exactly)."""
+    from parallel_pagerank_spark.operators.neighborhood import (
+        neighborhood_sketches,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return neighborhood_sketches(
+        event_graph_edges(_events(spark, sf_dir)), max_rounds=4
+    ).sketches
+
+
+def _q_nbhd_growth8(spark, sf_dir):
+    """Neighborhood-function growth curve: (superstep, total set
+    register bits) for t = 0..8 — the integer-exact proxy for N(t) the
+    effective-diameter readout uses. If the sketches hit their fixpoint
+    before round 8 the final total is carried forward (OR idempotence
+    makes the padding semantically exact), keeping the row count fixed
+    so the unrolled oracle aligns."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from parallel_pagerank_spark.operators.neighborhood import (
+        neighborhood_sketches,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    rounds = 8
+    res = neighborhood_sketches(
+        event_graph_edges(_events(spark, sf_dir)), max_rounds=rounds
+    )
+    rows = [(g["superstep"], g["total_bits"]) for g in res.growth]
+    while len(rows) < rounds + 1:
+        rows.append((rows[-1][0] + 1, rows[-1][1]))
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("superstep", LongType()),
+                StructField("total_bits", LongType()),
+            ]
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -865,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coupling": _q_coupling,
         "walks8": _q_walks8,
         "walk_transitions": _q_walk_transitions,
+        "nbhd_sketch4": _q_nbhd_sketch4,
+        "nbhd_growth8": _q_nbhd_growth8,
     }
 
 
@@ -1185,6 +1234,54 @@ SELECT a.vertex AS src, b.vertex AS dst, count(*) AS n_walks
 FROM allrows a JOIN allrows b
   ON a.walk_id = b.walk_id AND b.step = a.step + 1
 GROUP BY a.vertex, b.vertex""")
+    return "".join(parts)
+
+
+def _nbhd_sql(rounds: int = 4, growth: bool = False) -> str:
+    """Unrolled FM neighborhood sketches (operators/neighborhood.py):
+    register j of vertex v starts as the lowest set bit of the modular
+    hash h_j(v) and each round ORs in the out-neighbors' registers
+    (bit_or aggregate + left join so sinks keep their sketch). All
+    integer arithmetic — both engines agree bit-for-bit. The growth
+    variant emits (superstep, total set bits) for t = 0..rounds; totals
+    at the fixpoint repeat, matching the Spark wrapper's padding."""
+    p = 2_147_483_647
+    regs = list(range(8))
+    hs = ", ".join(
+        f"(({2_654_435_761 + 2 * j} * (id % {p}) + {98_765 + 12_345 * j})"
+        f" % {p} + 1) AS h{j}"
+        for j in regs
+    )
+    init = ", ".join(f"(h{j} & (-h{j}))::BIGINT AS s{j}" for j in regs)
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+verts AS MATERIALIZED (
+  SELECT src AS id FROM de UNION SELECT dst AS id FROM de),
+s0r AS MATERIALIZED (
+  SELECT id, {init} FROM (SELECT id, {hs} FROM verts))"""]
+    for k in range(1, rounds + 1):
+        gsel = ", ".join(f"bit_or(p.s{j}) AS g{j}" for j in regs)
+        osel = ", ".join(
+            f"(v.s{j} | coalesce(g.g{j}, 0))::BIGINT AS s{j}" for j in regs
+        )
+        parts.append(f""",
+s{k}r AS MATERIALIZED (
+  SELECT v.id, {osel}
+  FROM s{k - 1}r v LEFT JOIN (
+    SELECT e.src AS id, {gsel}
+    FROM de e JOIN s{k - 1}r p ON p.id = e.dst GROUP BY e.src) g
+  ON g.id = v.id)""")
+    if not growth:
+        cols = ", ".join(f"s{j}" for j in regs)
+        parts.append(f"\nSELECT id, {cols} FROM s{rounds}r")
+    else:
+        bits = " + ".join(f"bit_count(s{j})" for j in regs)
+        union = "\nUNION ALL ".join(
+            f"SELECT {k}::BIGINT AS superstep,"
+            f" (SELECT sum({bits})::BIGINT FROM s{k}r) AS total_bits"
+            for k in range(rounds + 1)
+        )
+        parts.append("\n" + union)
     return "".join(parts)
 
 
@@ -1588,4 +1685,6 @@ ORDER BY df DESC, total_tf DESC, term ASC LIMIT 50
         "coupling": _common_pairs_sql("coupling"),
         "walks8": _walks_sql(8),
         "walk_transitions": _walks_sql(8, transitions=True),
+        "nbhd_sketch4": _nbhd_sql(4),
+        "nbhd_growth8": _nbhd_sql(8, growth=True),
     }
