@@ -858,6 +858,137 @@ def _q_nbhd_growth8(spark, sf_dir):
     )
 
 
+def _q_katz20(spark, sf_dir):
+    """Fixed-iteration Katz centrality (20 rounds, alpha=0.05, beta=1.0 —
+    operators/katz.py): top-20 by rounded score. Ranks rounded to 9
+    decimals to absorb summation-order float noise; ORDER BY the rounded
+    value so the limit-20 cutoff is deterministic in both engines."""
+    from parallel_pagerank_spark.operators.katz import katz_centrality
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    res = katz_centrality(
+        event_graph_edges(_events(spark, sf_dir)),
+        alpha=0.05,
+        beta=1.0,
+        max_iter=20,
+    )
+    return (
+        res.scores.select("id", F.round("katz", 9).alias("katz"))
+        .orderBy(F.desc("katz"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def _q_landmark_dist4(spark, sf_dir):
+    """Labeled landmark BFS (operators/bfs.py landmark_distances): hop
+    distance to EACH landmark (event_id % 997 == 0) within 4 hops —
+    the distance-oracle building block. All-integer rows (id, landmark,
+    dist) → hash-exact vs the unrolled labeled-frontier chain."""
+    from parallel_pagerank_spark.operators.bfs import landmark_distances
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir)
+    landmarks = ev.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    res = landmark_distances(event_graph_edges(ev), landmarks, max_hops=4)
+    return res.distances
+
+
+def _q_harmonic4(spark, sf_dir):
+    """Bounded outward harmonic centrality per landmark (sum of 1/dist
+    over the 4-hop ball, Boldi & Vigna's truncated variant) — readout
+    aggregation over the same landmark BFS landmark_dist4 checks. The
+    1/dist terms are dyadic-or-small rationals summed in different
+    orders across engines, so the sum is rounded to 9."""
+    from parallel_pagerank_spark.operators.bfs import (
+        harmonic_centrality,
+        landmark_distances,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir)
+    landmarks = ev.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    res = landmark_distances(event_graph_edges(ev), landmarks, max_hops=4)
+    h = harmonic_centrality(res)
+    return h.select(
+        "landmark", F.round("harmonic", 9).alias("harmonic"), "n_reached"
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    """EXACT char-5-gram Jaccard similarity join at threshold 0.9
+    (functions/dedup.py jaccard_similarity_join): the prefix-filtered
+    scale path is checked hash-exactly against the plain inverted-index
+    oracle — different plan, same definition, NO false negatives to
+    hide behind (unlike the rows-only MinHash row)."""
+    from parallel_pagerank_spark.functions.dedup import (
+        jaccard_similarity_join,
+    )
+
+    pairs = jaccard_similarity_join(
+        _documents(spark, sf_dir), threshold=0.9
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def _q_near_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: exact Jaccard pairs (threshold 0.9) →
+    connected components → (doc_id, cluster_id = min doc_id of the
+    cluster). All-integer output, hash-exact vs the pair CTE + unrolled
+    min-label propagation (measured cluster eccentricity at both gate
+    SFs is 1; the oracle unrolls 6 rounds — fixpoints are stable under
+    extra rounds)."""
+    from parallel_pagerank_spark.functions.dedup import near_dup_clusters
+
+    return near_dup_clusters(_documents(spark, sf_dir), threshold=0.9)
+
+
+def _q_doc_repetition(spark, sf_dir):
+    """Word/bigram repetition signals (functions/text.py
+    repetition_signals — the Gopher-style repetition quality family).
+    Fractions are integer ratios computed in one divide; rounded to 9
+    anyway for engine-portability."""
+    from parallel_pagerank_spark.functions.text import repetition_signals
+
+    r = repetition_signals(_documents(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round("dup_word_frac", 9).alias("dup_word_frac"),
+        F.round("top_word_frac", 9).alias("top_word_frac"),
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+    )
+
+
+def _q_top_docs_per_lang(spark, sf_dir):
+    """Top-3 documents per language by quality score — the per-group
+    top-k window pattern (rank over the ROUNDED score with doc_id
+    tie-break, so the cutoff is deterministic in both engines)."""
+    from pyspark.sql import Window
+
+    from parallel_pagerank_spark.functions.text import quality_score
+
+    d = _documents(spark, sf_dir).select(
+        "lang",
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "quality", "rnk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -914,6 +1045,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_transitions": _q_walk_transitions,
         "nbhd_sketch4": _q_nbhd_sketch4,
         "nbhd_growth8": _q_nbhd_growth8,
+        "katz20": _q_katz20,
+        "landmark_dist4": _q_landmark_dist4,
+        "harmonic4": _q_harmonic4,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "doc_repetition": _q_doc_repetition,
+        "top_docs_per_lang": _q_top_docs_per_lang,
     }
 
 
@@ -1404,6 +1542,175 @@ SELECT doc_id, {case} AS lang FROM (
 """
 
 
+def _katz_sql(iters: int = 20) -> str:
+    """Unrolled Katz power iteration mirroring operators/katz.py float-op
+    for float-op: x0 = 1.0 everywhere, x_{k}(v) = 1.0 + 0.05 * Σ_{u→v}
+    x_{k-1}(u) — damping literals written as 0.05/1.0 so both engines
+    parse the same doubles; parallel edges contribute multiply (walk
+    counting) in both."""
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+params AS MATERIALIZED (SELECT greatest(max(src), max(dst)) + 1 AS n FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params),
+x0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS katz FROM verts)"""]
+    prev = "x0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (SELECT e.dst AS id, sum(x.katz) AS contrib
+         FROM edges e JOIN {prev} x ON x.id = e.src GROUP BY e.dst),
+x{k} AS MATERIALIZED (SELECT v.id,
+         1.0::DOUBLE + 0.05::DOUBLE * coalesce(c.contrib, 0.0::DOUBLE)
+           AS katz
+         FROM verts v LEFT JOIN c{k} c ON c.id = v.id)""")
+        prev = f"x{k}"
+    parts.append(
+        f"\nSELECT id, round(katz, 9) AS katz FROM {prev} "
+        "ORDER BY katz DESC, id ASC LIMIT 20"
+    )
+    return "".join(parts)
+
+
+def _landmark_sql(rounds: int = 4, harmonic: bool = False) -> str:
+    """Unrolled LABELED multi-source BFS (operators/bfs.py
+    landmark_distances semantics): the settled set is keyed on
+    (id, landmark) so each landmark's frontier expands independently.
+    harmonic=True aggregates Σ 1/dist per landmark over the reached
+    ball (dist > 0) instead of emitting the raw distance rows."""
+    parts = [f"""WITH {_EDGES_MAT_CTE},
+s0 AS MATERIALIZED (SELECT DISTINCT event_id AS id, event_id AS landmark,
+       0::BIGINT AS dist FROM events WHERE event_id % 997 = 0),
+f0 AS MATERIALIZED (SELECT id, landmark FROM s0)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id, f.landmark
+         FROM edges e JOIN f{k - 1} f ON f.id = e.src),
+f{k} AS MATERIALIZED (SELECT c.id, c.landmark FROM c{k} c
+         LEFT JOIN s{k - 1} s ON s.id = c.id AND s.landmark = c.landmark
+         WHERE s.id IS NULL),
+s{k} AS MATERIALIZED (SELECT id, landmark, dist FROM s{k - 1}
+         UNION ALL SELECT id, landmark, {k}::BIGINT AS dist FROM f{k})""")
+    if harmonic:
+        parts.append(f"""
+SELECT landmark, round(sum(1.0 / dist), 9) AS harmonic,
+       count(*) AS n_reached
+FROM s{rounds} WHERE dist > 0 GROUP BY landmark""")
+    else:
+        parts.append(f"\nSELECT id, landmark, dist FROM s{rounds}")
+    return "".join(parts)
+
+
+# Exact char-5-gram Jaccard pairs at threshold 0.9 — the plain
+# inverted-index formulation (every pair sharing any shingle, then the
+# exact Jaccard filter). The ENGINE side prunes candidates with a prefix
+# filter; this oracle does not — same result by the prefix-filter
+# losslessness theorem (Chaudhuri ICDE'06), which is exactly what the
+# hash check verifies. Shingle construction mirrors
+# functions/dedup.char_shingles (substr window over the canonical
+# normalized text, list_distinct, greatest(len-4, 1) floor).
+_JACCARD_PAIRS_CTE = f"""
+norm AS MATERIALIZED (
+  SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents),
+sh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    [substr(t, i, 5) for i in range(1, greatest(length(t) - 4, 1) + 1)]
+  )) AS g FROM norm),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jpairs AS MATERIALIZED (
+  SELECT id_a, id_b,
+         c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.9)"""
+
+
+def _near_dup_clusters_sql(rounds: int = 6) -> str:
+    """Jaccard pair CTE + unrolled synchronous min-label propagation over
+    the undirected pair graph (functions/dedup.near_dup_clusters
+    semantics). Measured cluster eccentricity from the min vertex is 1
+    at both gate SFs; {rounds} unrolled rounds is the safety margin —
+    fixpoints are stable under extra rounds, an insufficient depth
+    surfaces as a value mismatch, never a silent wrong-match."""
+    parts = [f"""WITH {_JACCARD_PAIRS_CTE},
+sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION ALL SELECT id_b AS u, id_a AS v FROM jpairs),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS id, u AS label FROM sym)"""]
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN sym e ON e.u = l.id
+  LEFT JOIN {prev} n ON n.id = e.v
+  GROUP BY l.id, l.label)""")
+        prev = f"l{k}"
+    parts.append(
+        f"\nSELECT id AS doc_id, label AS cluster_id FROM {prev}"
+    )
+    return "".join(parts)
+
+
+def _doc_repetition_sql() -> str:
+    """Word/bigram repetition signals mirroring functions/text.py
+    repetition_signals: token counts over the canonical normalized text,
+    bigram slots = n_words - 1 (0 when a doc has < 2 tokens)."""
+    return f"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+wc AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS c FROM toks WHERE term <> ''
+  GROUP BY doc_id, term),
+ws AS MATERIALIZED (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct_words,
+         max(c) AS top_word_c
+  FROM wc GROUP BY doc_id),
+warr AS MATERIALIZED (
+  SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+         unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS g
+  FROM warr WHERE len(w) >= 2),
+bc AS MATERIALIZED (
+  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bs AS MATERIALIZED (
+  SELECT doc_id, max(c) AS top_bigram_c FROM bc GROUP BY doc_id)
+SELECT ws.doc_id, ws.n_words, ws.n_distinct_words,
+  round(1.0 - ws.n_distinct_words / ws.n_words::DOUBLE, 9)
+    AS dup_word_frac,
+  round(ws.top_word_c / ws.n_words::DOUBLE, 9) AS top_word_frac,
+  round(CASE WHEN ws.n_words >= 2
+        THEN coalesce(bs.top_bigram_c, 0)::DOUBLE
+             / (ws.n_words - 1)::DOUBLE
+        ELSE 0.0 END, 9) AS top_bigram_frac
+FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
+"""
+
+
+def _top_docs_per_lang_sql() -> str:
+    """Top-3 per language by the (already-rounded-to-6) quality score —
+    ranks over the rounded value with doc_id tie-break, mirroring the
+    Spark window exactly."""
+    return f"""
+WITH q AS MATERIALIZED ({_quality_score_sql()}),
+j AS MATERIALIZED (
+  SELECT d.lang, d.doc_id, q.quality
+  FROM documents d JOIN q ON q.doc_id = d.doc_id),
+r AS (SELECT lang, doc_id, quality,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id ASC) AS rnk
+      FROM j)
+SELECT lang, doc_id, quality, rnk FROM r WHERE rnk <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "edges_reply": f"WITH {_EDGES_CTE} SELECT src, dst FROM reply",
@@ -1687,4 +1994,14 @@ ORDER BY df DESC, total_tf DESC, term ASC LIMIT 50
         "walk_transitions": _walks_sql(8, transitions=True),
         "nbhd_sketch4": _nbhd_sql(4),
         "nbhd_growth8": _nbhd_sql(8, growth=True),
+        "katz20": _katz_sql(20),
+        "landmark_dist4": _landmark_sql(4),
+        "harmonic4": _landmark_sql(4, harmonic=True),
+        "ngram_jaccard": (
+            f"WITH {_JACCARD_PAIRS_CTE}\n"
+            "SELECT id_a, id_b, round(jaccard, 9) AS jaccard FROM jpairs"
+        ),
+        "near_dup_clusters": _near_dup_clusters_sql(),
+        "doc_repetition": _doc_repetition_sql(),
+        "top_docs_per_lang": _top_docs_per_lang_sql(),
     }

@@ -257,3 +257,79 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals over whitespace tokens of the
+    canonical normalized text — the word/n-gram repetition family of
+    quality filters used by large-scale corpus curation (the published
+    Gopher rules, Rae et al. 2021 arXiv:2112.11446 §A1.1, measure
+    duplicate line/paragraph/n-gram fractions; these are the single-line
+    analogues):
+
+      n_words            total token occurrences
+      n_distinct_words   distinct tokens
+      dup_word_frac      1 - distinct/total (fraction of repeats)
+      top_word_frac      occurrences of the most frequent token / total
+      top_bigram_frac    occurrences of the most frequent bigram /
+                         total bigram slots (n_words - 1; 0 when < 2)
+
+    High dup_word_frac / top_*_frac flag degenerate, loopy, or
+    boilerplate text for downstream filtering.
+
+    Scale shape: ONE explode per granularity, aggregations keyed on
+    (doc, token) then (doc) — the document id is always in the shuffle
+    key, so corpus-wide hot tokens ('the') can NOT skew a partition the
+    way a token-keyed shuffle would. Pure built-in Columns, no Python.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("w"),
+    ).select(F.col(id_col), F.explode("w").alias("term")).filter(
+        F.col("term") != ""
+    )
+    wc = toks.groupBy(id_col, "term").agg(F.count("*").alias("c"))
+    word_sig = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").alias("top_word_c"),
+    )
+    w = F.split(normalized_text(F.col(text_col)), " ")
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("bg"),
+    )
+    bc = bigrams.groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+    bg_sig = bc.groupBy(id_col).agg(F.max("c").alias("top_bigram_c"))
+    return (
+        word_sig.join(bg_sig, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "n_distinct_words",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_words") / F.col("n_words").cast("double")
+            ).alias("dup_word_frac"),
+            (F.col("top_word_c") / F.col("n_words").cast("double")).alias(
+                "top_word_frac"
+            ),
+            F.when(F.col("n_words") >= 2,
+                   F.coalesce(F.col("top_bigram_c"), F.lit(0)).cast("double")
+                   / (F.col("n_words") - F.lit(1)).cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
