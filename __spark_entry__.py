@@ -966,6 +966,79 @@ def _q_doc_repetition(spark, sf_dir):
     )
 
 
+def _q_k_truss3(spark, sf_dir):
+    """3-truss of the mod-7-filtered window-2 co-occurrence graph
+    (operators/truss.py): every surviving edge closes >= 1 triangle
+    INSIDE the truss. The filter matters for the same reason as k_core:
+    the unfiltered graph is already a 3-truss (zero peeling), the
+    filtered one peels for 2 measured rounds at both gate SFs and keeps
+    a non-empty truss. All-integer (u, v, support) → hash-exact vs the
+    4-round unrolled peeling oracle."""
+    from parallel_pagerank_spark.operators.truss import k_truss
+    from parallel_pagerank_spark.sources.events import cooccurrence_edges
+
+    co = cooccurrence_edges(_events(spark, sf_dir), window=2).filter(
+        (F.col("src") + F.col("dst")) % 7 != 0
+    )
+    return k_truss(co, k=3).truss_edges
+
+
+def _q_pr_convergence10(spark, sf_dir):
+    """Per-iteration PageRank convergence metrics (the reference's D3
+    max-error and D4 L1-norm stdout stream, pagerank_mpi.c:215-217, as
+    driver-checkable ROWS): 10 fixed iterations, (iteration, l1,
+    max_err). l1 accumulates ~N float terms whose summation order
+    differs across engines → rounded to 6; max_err is a single
+    per-vertex |diff| (no accumulation) → rounded to 9."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    res = pagerank(
+        event_graph_edges(_events(spark, sf_dir)),
+        config=PageRankConfig(tol=0.0, max_iter=10),
+    )
+    rows = [
+        (int(m["iteration"]), round(m["l1"], 6), round(m["max_err"], 9))
+        for m in res.metrics
+    ]
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("iteration", LongType()),
+                StructField("l1", DoubleType()),
+                StructField("max_err", DoubleType()),
+            ]
+        ),
+    )
+
+
+def _q_emb_quantize(spark, sf_dir):
+    """SQ8 scalar quantization (functions/similarity.scalar_quantize):
+    integer codes (hash-exact, joined to a string like the adjacency
+    row) + reconstruction MSE. The (v-lo)/scale doubles are IEEE-
+    deterministic and floor() has no half-way ties, so codes match
+    bit-for-bit; mse is a short per-vector sum → rounded to 9."""
+    from parallel_pagerank_spark.functions.similarity import (
+        scalar_quantize,
+    )
+
+    q = scalar_quantize(_embeddings(spark, sf_dir), bits=8)
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes")).alias("codes"),
+        F.round("mse", 9).alias("mse"),
+    )
+
+
 def _q_top_docs_per_lang(spark, sf_dir):
     """Top-3 documents per language by quality score — the per-group
     top-k window pattern (rank over the ROUNDED score with doc_id
@@ -1052,6 +1125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "doc_repetition": _q_doc_repetition,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "k_truss3": _q_k_truss3,
+        "pr_convergence10": _q_pr_convergence10,
+        "emb_quantize": _q_emb_quantize,
     }
 
 
@@ -1149,7 +1225,10 @@ l{k} AS MATERIALIZED (SELECT v.id, coalesce(b.new_label, v.label) AS label
 
 
 def _pagerank_fixed_sql(
-    iters: int = 20, weighted: bool = False, personalized: bool = False
+    iters: int = 20,
+    weighted: bool = False,
+    personalized: bool = False,
+    trajectory: bool = False,
 ) -> str:
     """Unrolled power iteration mirroring operators/pagerank.py float-op
     for float-op: w = 1.0/out_deg then rank*w (not rank/out_deg), damping
@@ -1224,6 +1303,24 @@ p{k} AS MATERIALIZED (SELECT v.id{carry},
 d{k} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
          FROM p{k} p LEFT JOIN deg g ON g.id = p.id WHERE g.id IS NULL)""")
         prev_p, prev_d = f"p{k}", f"d{k}"
+    if trajectory:
+        # per-iteration convergence metrics (D3 max-error / D4 L1 as
+        # driver rows): l1 sums ~N float terms whose order differs
+        # across engines, so it is rounded to 6; max_err picks a single
+        # per-vertex |diff| (no accumulation) and rounds to 9.
+        for k in range(1, iters + 1):
+            parts.append(f""",
+m{k} AS MATERIALIZED (SELECT {k}::BIGINT AS iteration,
+         round(sum(abs(p.rank - q.rank)), 6) AS l1,
+         round(max(abs(p.rank - q.rank)), 9) AS max_err
+         FROM p{k} p JOIN p{k - 1} q ON q.id = p.id)""")
+        parts.append(
+            "\n"
+            + " UNION ALL ".join(
+                f"SELECT * FROM m{k}" for k in range(1, iters + 1)
+            )
+        )
+        return "".join(parts)
     parts.append(
         f"\nSELECT id, round(rank, 9) AS rank FROM {prev_p} "
         "ORDER BY rank DESC, id ASC LIMIT 20"
@@ -1694,6 +1791,104 @@ FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
 """
 
 
+def _ktruss_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled synchronous k-truss peeling (operators/truss.py
+    semantics) over the mod-7-filtered window-2 co-occurrence graph:
+    per round one ordered-wedge triangle enumeration (each triangle
+    a<b<c appears once — all three edges canonical) + a per-edge
+    support count + the >= k-2 filter. Measured fixpoint is 2 rounds at
+    both gate SFs; {rounds} unrolled rounds is the margin (fixpoints
+    are stable under extra rounds). Final support is recomputed inside
+    the settled truss, mirroring the engine's readout."""
+    parts = [f"""WITH
+pos AS MATERIALIZED (
+  SELECT user_id, event_id AS id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+co AS MATERIALIZED (
+  SELECT least(a.id, b.id) AS u, greatest(a.id, b.id) AS v
+  FROM pos a JOIN pos b
+    ON a.user_id = b.user_id AND b.pos > a.pos AND b.pos - a.pos <= 2),
+s0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM co WHERE u <> v AND (u + v) % 7 <> 0)"""]
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+tri{r} AS MATERIALIZED (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM {prev} ab JOIN {prev} bc ON bc.u = ab.v
+  JOIN {prev} ac ON ac.u = ab.u AND ac.v = bc.v),
+sup{r} AS MATERIALIZED (
+  SELECT u, v, count(*) AS s FROM (
+    SELECT a AS u, b AS v FROM tri{r}
+    UNION ALL SELECT b AS u, c AS v FROM tri{r}
+    UNION ALL SELECT a AS u, c AS v FROM tri{r})
+  GROUP BY u, v),
+s{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN sup{r} p ON p.u = e.u AND p.v = e.v AND p.s >= {k - 2})""")
+        prev = f"s{r}"
+    parts.append(f""",
+trif AS MATERIALIZED (
+  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+  FROM {prev} ab JOIN {prev} bc ON bc.u = ab.v
+  JOIN {prev} ac ON ac.u = ab.u AND ac.v = bc.v),
+supf AS MATERIALIZED (
+  SELECT u, v, count(*) AS s FROM (
+    SELECT a AS u, b AS v FROM trif
+    UNION ALL SELECT b AS u, c AS v FROM trif
+    UNION ALL SELECT a AS u, c AS v FROM trif)
+  GROUP BY u, v)
+SELECT e.u, e.v, coalesce(p.s, 0) AS support
+FROM {prev} e LEFT JOIN supf p ON p.u = e.u AND p.v = e.v""")
+    return "".join(parts)
+
+
+def _emb_quantize_sql() -> str:
+    """SQ8 quantization mirroring functions/similarity.scalar_quantize
+    float-op for float-op: scale = (hi - lo) / 255.0 per dimension,
+    code = least(255, floor((v - lo) / scale)), dequant = lo + code *
+    scale, err = (v - dequant) * (v - dequant) (a plain multiply, not
+    pow, to match Spark's expression exactly). All literals DOUBLE-cast
+    to keep DuckDB out of DECIMAL inference."""
+    code_expr = (
+        "CASE WHEN (his[i] - los[i]) > 0.0::DOUBLE "
+        "THEN least(255, floor((embedding[i]::DOUBLE - los[i]) "
+        "/ ((his[i] - los[i]) / 255.0::DOUBLE))::INT) ELSE 0 END"
+    )
+    dequant_expr = (
+        f"(los[i] + ({code_expr})::DOUBLE "
+        "* ((his[i] - los[i]) / 255.0::DOUBLE))"
+    )
+    err_expr = (
+        f"(embedding[i]::DOUBLE - {dequant_expr}) "
+        f"* (embedding[i]::DOUBLE - {dequant_expr})"
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+expl AS MATERIALIZED (
+  SELECT vec_id,
+         unnest([{{'pos': i - 1, 'val': embedding[i]::DOUBLE}}
+                 for i in range(1, len(embedding) + 1)]) AS s
+  FROM v),
+dims AS MATERIALIZED (
+  SELECT s.pos AS pos, min(s.val) AS lo, max(s.val) AS hi
+  FROM expl GROUP BY s.pos),
+bounds AS MATERIALIZED (
+  SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+  FROM dims),
+q AS (
+  SELECT vec_id,
+         [{code_expr} for i in range(1, len(embedding) + 1)] AS codes,
+         [{err_expr} for i in range(1, len(embedding) + 1)] AS errs
+  FROM v, bounds)
+SELECT vec_id, array_to_string(codes, ',') AS codes,
+       round(list_sum(errs) / len(errs)::DOUBLE, 9) AS mse
+FROM q
+"""
+
+
 def _top_docs_per_lang_sql() -> str:
     """Top-3 per language by the (already-rounded-to-6) quality score —
     ranks over the rounded value with doc_id tie-break, mirroring the
@@ -2004,4 +2199,7 @@ ORDER BY df DESC, total_tf DESC, term ASC LIMIT 50
         "near_dup_clusters": _near_dup_clusters_sql(),
         "doc_repetition": _doc_repetition_sql(),
         "top_docs_per_lang": _top_docs_per_lang_sql(),
+        "k_truss3": _ktruss_sql(3),
+        "pr_convergence10": _pagerank_fixed_sql(10, trajectory=True),
+        "emb_quantize": _emb_quantize_sql(),
     }

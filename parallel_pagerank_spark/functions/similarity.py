@@ -355,3 +355,86 @@ def embedding_centroids(
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension scalar quantization of an embedding column —
+    ``(vec_id, codes: array<int>, mse: double)`` where codes[i] =
+    floor((v[i] - min_i) / scale_i) clamped to [0, 2^bits - 1] with
+    scale_i = (max_i - min_i) / (2^bits - 1), and mse is the
+    reconstruction error against the dequantized vector. This is the
+    SQ8 storage layout ANN systems use to cut vector memory 4x before
+    an exact re-rank (e.g. the IVF_SQ8 index family in Johnson et al.
+    2017 arXiv:1702.08734 §4 and its descendants).
+
+    Scale design: the per-dimension min/max table is ONE posexplode +
+    aggregation (|dims| rows — tiny), broadcast back as an array via a
+    1-row cross join; quantize/dequantize/MSE are pure JVM-side
+    higher-order Column functions (transform/aggregate/zip_with) — no
+    Python, no second pass over the data, no shuffle of the vectors
+    themselves. floor() (not round) keeps the code engine-portable:
+    IEEE double (v - min) / scale is bit-identical across engines, and
+    floor has no half-way ties the way round does.
+
+    Constant dimensions (max == min) get scale 0 → code 0, dequantized
+    exactly to the constant value (MSE contribution 0)."""
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    levels = float((1 << bits) - 1)
+    dims = (
+        emb.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("lo"),
+            F.max(F.col("val").cast("double")).alias("hi"),
+        )
+    )
+    bounds = dims.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "lo", "hi"))
+        ).alias("b")
+    ).select(
+        F.transform("b", lambda s: s["lo"]).alias("los"),
+        F.transform("b", lambda s: s["hi"]).alias("his"),
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lo_at = lambda i: F.element_at("los", i + 1)  # noqa: E731
+    hi_at = lambda i: F.element_at("his", i + 1)  # noqa: E731
+    scale_at = lambda i: (hi_at(i) - lo_at(i)) / F.lit(levels)  # noqa: E731
+    code = lambda x, i: F.when(  # noqa: E731
+        scale_at(i) > 0.0,
+        F.least(
+            F.lit(int(levels)),
+            F.floor((x - lo_at(i)) / scale_at(i)).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    codes = F.zip_with(
+        v,
+        F.sequence(F.lit(0), F.size(v) - F.lit(1)),
+        lambda x, i: code(x, i),
+    )
+    dequant = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.size("codes") - F.lit(1)),
+        lambda c, i: lo_at(i) + c.cast("double") * scale_at(i),
+    )
+    with_codes = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("codes", codes)
+    )
+    err = F.zip_with(v, dequant, lambda a, b: (a - b) * (a - b))
+    return with_codes.select(
+        "vec_id",
+        "codes",
+        (
+            F.aggregate(err, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(err).cast("double")
+        ).alias("mse"),
+    )

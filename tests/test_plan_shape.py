@@ -262,3 +262,45 @@ def test_superstep_loops_truncate_lineage():
     for mod in ("hits.py", "bfs.py", "paths.py"):
         src = (ops / mod).read_text()
         assert "localCheckpoint(eager=True)" in src, mod
+
+
+def test_jaccard_join_candidates_are_prefix_filtered(spark):
+    """Hot-shingle safety: the exact similarity join must generate
+    candidates from PREFIX tokens (df-ranked rarest shingles per set),
+    never a raw inverted-index self-join — one stop-shingle in d docs
+    would otherwise fan out d² candidate pairs (the committed testdata
+    has a shingle hitting 80% of documents). The prefix selection is a
+    row_number window over (df, shingle) feeding the self-join; this
+    pins that shape."""
+    from parallel_pagerank_spark.functions.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common header payload {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = jaccard_similarity_join(docs, threshold=0.8)
+    plan = _plan(out)
+    # the window computing the per-set df-rank must sit in the plan
+    assert "Window" in plan, plan
+    assert "row_number" in plan, plan
+    out.unpersist()
+
+
+def test_katz_superstep_is_single_shuffle(spark):
+    """A Katz superstep is ONE gather aggregation — the contribution
+    groupBy(dst) — plus the vertex left-join back. The edge side is
+    pre-partitioned and persisted, so no per-round edge re-shuffle may
+    appear; this is the minimum shuffle count a gather-scatter can do
+    and the plan the oracle mirrors."""
+    from parallel_pagerank_spark.operators.katz import katz_centrality
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], "src long, dst long"
+    )
+    res = katz_centrality(e, max_iter=2)
+    # scores are checkpointed per round; the final plan must be flat
+    # (truncated lineage), not a 2-round join tower
+    plan = _plan(res.scores)
+    assert plan.count("Exchange") <= 2, plan
