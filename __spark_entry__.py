@@ -966,6 +966,50 @@ def _q_doc_repetition(spark, sf_dir):
     )
 
 
+def _q_modularity_lpa5(spark, sf_dir):
+    """Newman modularity of the 5-step label-propagation labeling on the
+    reply∪handoff graph — the quality readout for the labeling the
+    label_propagation row already hash-checks. Per-community terms are
+    identical in both engines; only the final Σ over ~2k communities
+    differs in float order → rounded to 6. Counts are exact."""
+    from parallel_pagerank_spark.operators.labelprop import (
+        label_propagation,
+    )
+    from parallel_pagerank_spark.operators.stats import modularity
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir))
+    res = label_propagation(edges, max_iter=5)
+    q = modularity(edges, res.labels)
+    return q.select(
+        F.round("modularity", 6).alias("modularity"),
+        "n_communities",
+        "intra_edges",
+        "m_edges",
+    )
+
+
+def _q_powerlaw_alpha(spark, sf_dir):
+    """Continuous MLE power-law exponent of the total-degree tail
+    (xmin=2 keeps degree-1 vertices out of the fit, the usual choice
+    when the head is known to be non-power-law). alpha divides by a
+    Σ ln(d) whose summation order differs across engines → rounded 6."""
+    from parallel_pagerank_spark.operators.stats import powerlaw_alpha
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    a = powerlaw_alpha(event_graph_edges(_events(spark, sf_dir)), xmin=2)
+    return a.select("n_tail", F.round("alpha", 6).alias("alpha"))
+
+
+def _q_doc_profile(spark, sf_dir):
+    """Per-column completeness/cardinality/range profile of the documents
+    table (functions/profile.py) — exact mode, all-integer/string →
+    hash-exact."""
+    from parallel_pagerank_spark.functions.profile import profile_table
+
+    return profile_table(_documents(spark, sf_dir))
+
+
 def _q_k_truss3(spark, sf_dir):
     """3-truss of the mod-7-filtered window-2 co-occurrence graph
     (operators/truss.py): every surviving edge closes >= 1 triangle
@@ -1125,6 +1169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "doc_repetition": _q_doc_repetition,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "modularity_lpa5": _q_modularity_lpa5,
+        "powerlaw_alpha": _q_powerlaw_alpha,
+        "doc_profile": _q_doc_profile,
         "k_truss3": _q_k_truss3,
         "pr_convergence10": _q_pr_convergence10,
         "emb_quantize": _q_emb_quantize,
@@ -1197,12 +1244,14 @@ l{k} AS MATERIALIZED (SELECT a.id, b.lbl FROM c{k} a JOIN c{k} b ON b.id = a.lbl
     return "".join(parts)
 
 
-def _lpa_sql(steps: int = 5) -> str:
+def _lpa_sql(steps: int = 5, final_select: str | None = None) -> str:
     """Synchronous label propagation, ``steps`` unrolled rounds: most
     frequent neighbor label, ties to the MIN label, no-neighbor vertices
     keep their own. Matches operators/labelprop.py's max_by((cnt, -label))
     argmax exactly; running the oracle past the engine's convergence point
-    is harmless (fixpoints are stable)."""
+    is harmless (fixpoints are stable). ``final_select`` (referencing the
+    label CTE ``l{steps}``) lets downstream oracles — modularity — reuse
+    the unrolled chain."""
     parts = [f"WITH {_EDGES_MAT_CTE}, {_SYM_CTE}, l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
     prev = "l0"
     for k in range(1, steps + 1):
@@ -1218,10 +1267,48 @@ l{k} AS MATERIALIZED (SELECT v.id, coalesce(b.new_label, v.label) AS label
          FROM {prev} v LEFT JOIN b{k} b ON b.id = v.id)""")
         prev = f"l{k}"
     parts.append(
-        f"\nSELECT label, count(*) AS size FROM {prev} "
+        final_select
+        or f"\nSELECT label, count(*) AS size FROM {prev} "
         "GROUP BY label ORDER BY size DESC, label ASC"
     )
     return "".join(parts)
+
+
+def _modularity_sql(steps: int = 5) -> str:
+    """LPA-{steps} label chain + Newman modularity over the undirected
+    simple graph (operators/stats.modularity semantics): per-community
+    terms float-op-identical to the engine; the Σ over communities is
+    the only order-divergent float reduce (rounded 6)."""
+    lab = f"l{steps}"
+    final = f""",
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+mrow AS MATERIALIZED (SELECT count(*)::DOUBLE AS m FROM und),
+intra AS MATERIALIZED (
+  SELECT la.label, count(*)::DOUBLE AS intra_c
+  FROM und e JOIN {lab} la ON la.id = e.u JOIN {lab} lb ON lb.id = e.v
+  WHERE la.label = lb.label GROUP BY la.label),
+udeg AS MATERIALIZED (
+  SELECT id, count(*) AS deg FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+  GROUP BY id),
+degc AS MATERIALIZED (
+  SELECT l.label, sum(d.deg)::DOUBLE AS deg_c
+  FROM udeg d JOIN {lab} l ON l.id = d.id GROUP BY l.label),
+terms AS (
+  SELECT dc.label,
+         coalesce(i.intra_c, 0.0::DOUBLE) / (SELECT m FROM mrow)
+         - (dc.deg_c / (2.0::DOUBLE * (SELECT m FROM mrow)))
+           * (dc.deg_c / (2.0::DOUBLE * (SELECT m FROM mrow))) AS term,
+         i.intra_c
+  FROM degc dc LEFT JOIN intra i ON i.label = dc.label)
+SELECT round(sum(term), 6) AS modularity,
+       (SELECT count(DISTINCT label) FROM {lab}) AS n_communities,
+       coalesce(sum(intra_c), 0.0)::BIGINT AS intra_edges,
+       (SELECT count(*) FROM und) AS m_edges
+FROM terms"""
+    return _lpa_sql(steps, final_select=final)
 
 
 def _pagerank_fixed_sql(
@@ -2199,6 +2286,23 @@ ORDER BY df DESC, total_tf DESC, term ASC LIMIT 50
         "near_dup_clusters": _near_dup_clusters_sql(),
         "doc_repetition": _doc_repetition_sql(),
         "top_docs_per_lang": _top_docs_per_lang_sql(),
+        "modularity_lpa5": _modularity_sql(5),
+        "powerlaw_alpha": f"""
+WITH {_EDGES_MAT_CTE},
+tdeg AS (SELECT id, count(*) AS deg FROM (
+  SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)
+  GROUP BY id),
+tail AS (SELECT deg FROM tdeg WHERE deg >= 2)
+SELECT count(*) AS n_tail,
+       round(1.0::DOUBLE + count(*) / sum(ln(deg::DOUBLE / 2.0::DOUBLE)), 6)
+         AS alpha
+FROM tail
+""",
+        "doc_profile": """SELECT 'doc_id' AS "column", count(*) AS n_rows, count(*) - count(doc_id) AS n_null, count(DISTINCT doc_id) AS n_distinct, min(doc_id)::VARCHAR AS min_str, max(doc_id)::VARCHAR AS max_str FROM documents
+UNION ALL SELECT 'text' AS "column", count(*) AS n_rows, count(*) - count(text) AS n_null, count(DISTINCT text) AS n_distinct, min(text)::VARCHAR AS min_str, max(text)::VARCHAR AS max_str FROM documents
+UNION ALL SELECT 'lang' AS "column", count(*) AS n_rows, count(*) - count(lang) AS n_null, count(DISTINCT lang) AS n_distinct, min(lang)::VARCHAR AS min_str, max(lang)::VARCHAR AS max_str FROM documents
+UNION ALL SELECT 'source' AS "column", count(*) AS n_rows, count(*) - count(source) AS n_null, count(DISTINCT source) AS n_distinct, min(source)::VARCHAR AS min_str, max(source)::VARCHAR AS max_str FROM documents
+UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_chars) AS n_null, count(DISTINCT n_chars) AS n_distinct, min(n_chars)::VARCHAR AS min_str, max(n_chars)::VARCHAR AS max_str FROM documents""",
         "k_truss3": _ktruss_sql(3),
         "pr_convergence10": _pagerank_fixed_sql(10, trajectory=True),
         "emb_quantize": _emb_quantize_sql(),

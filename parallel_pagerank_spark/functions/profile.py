@@ -1,0 +1,62 @@
+"""Table profiling: per-column completeness/cardinality/range summary.
+
+No reference counterpart (the reference profiles only its graph); this
+is the data-quality gate a 100 TB ingest runs before anything else —
+null pressure, cardinality, and value ranges per column, as one small
+DataFrame.
+
+Scale shape: ONE pass over the table computing every column's aggregates
+in a single wide aggregation (Spark evaluates all of them in one
+scan — no per-column jobs), then a constant-size driver-side pivot to
+long form (|columns| rows). count(DISTINCT) for several columns in one
+aggregation is planned by Spark as an expand + two-level aggregate —
+still one scan of the input; for columns where an approximation
+suffices at extreme scale, ``approx=True`` swaps in HLL++
+(approx_count_distinct), trading oracle-exactness for a single-level
+aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-column profile: ``(column, n_rows, n_null, n_distinct,
+    min_str, max_str)``. min/max are computed in the column's native
+    type (so numeric columns order numerically) and then rendered as
+    strings so every column fits one output schema. Complex-typed
+    columns (arrays/structs/maps) report nulls and distincts only
+    (min/max NULL — no portable ordering)."""
+    distinct_fn = F.approx_count_distinct if approx else F.countDistinct
+    simple = {
+        f.name: not f.dataType.typeName()
+        in ("array", "map", "struct", "binary")
+        for f in df.schema.fields
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, is_simple in simple.items():
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(distinct_fn(c).alias(f"{c}__nd"))
+        if is_simple:
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    cols = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (
+                F.col(f"{c}__min") if is_simple else F.lit(None).cast("string")
+            ).alias("min_str"),
+            (
+                F.col(f"{c}__max") if is_simple else F.lit(None).cast("string")
+            ).alias("max_str"),
+        )
+        for c, is_simple in simple.items()
+    ]
+    return wide.select(
+        F.explode(F.array(*cols)).alias("p")
+    ).select("p.*")

@@ -266,3 +266,104 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             .alias("coefficient"),
         )
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity (Newman & Girvan 2004, Phys. Rev. E 69, eq. 5)
+    of a vertex labeling over the UNDIRECTED simple graph beneath
+    ``edges``: Q = Σ_c (e_c/m − (deg_c/(2m))²) with e_c = intra-community
+    undirected edges, deg_c = summed degrees, m = total undirected edges.
+    One row ``(modularity, n_communities, intra_edges, m_edges)`` — the
+    quality readout for a label_propagation / components labeling.
+
+    Scale shape: edge canonicalization is one dedup shuffle; the two
+    label attachments are hash joins keyed src/dst (the label table is
+    |V| rows — joined, never broadcast, never collected); everything
+    after is |labels|-sized aggregates. Per-community terms are computed
+    identically in the DuckDB oracle; the final Σ over communities is
+    the only cross-engine float-order difference (rounded by the
+    caller)."""
+    s, d = F.col("src"), F.col("dst")
+    und = (
+        edges.select(F.least(s, d).alias("u"), F.greatest(s, d).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lab = labels.select("id", "label")
+    m_row = und.agg(F.count("*").cast("double").alias("m"))
+    la = lab.select(F.col("id").alias("u"), F.col("label").alias("la"))
+    lb = lab.select(F.col("id").alias("v"), F.col("label").alias("lb"))
+    tagged = und.join(la, "u").join(lb, "v")
+    intra = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("double").alias("intra_c"))
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    degc = (
+        deg.join(lab, "id")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("double").alias("deg_c"))
+    )
+    terms = (
+        degc.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            F.col("label"),
+            (
+                F.coalesce("intra_c", F.lit(0.0)) / F.col("m")
+                - (F.col("deg_c") / (F.lit(2.0) * F.col("m")))
+                * (F.col("deg_c") / (F.lit(2.0) * F.col("m")))
+            ).alias("term"),
+            "intra_c",
+        )
+    )
+    return (
+        terms.agg(
+            F.sum("term").alias("modularity"),
+            F.sum(F.coalesce("intra_c", F.lit(0.0)))
+            .cast("long")
+            .alias("intra_edges"),
+        )
+        .crossJoin(
+            F.broadcast(
+                lab.agg(F.countDistinct("label").alias("n_communities"))
+            )
+        )
+        .crossJoin(F.broadcast(m_row.select(F.col("m").cast("long").alias("m_edges"))))
+        .select("modularity", "n_communities", "intra_edges", "m_edges")
+    )
+
+
+def powerlaw_alpha(edges: DataFrame, xmin: int = 1) -> DataFrame:
+    """Continuous maximum-likelihood power-law exponent of the TOTAL
+    (in+out) degree distribution (Newman 2005, Contemporary Physics
+    46(5), eq. 5; Clauset et al. 2009, SIAM Rev. 51(4)):
+    α = 1 + n / Σ ln(d_i / xmin) over vertices with degree >= xmin.
+    One row ``(n_tail, alpha)`` — the quantitative companion to the
+    scale_free_heuristic row (D11).
+
+    Scale shape: one degree aggregation + one scalar aggregate; ln() is
+    evaluated per vertex JVM-side."""
+    if xmin < 1:
+        raise ValueError(f"xmin must be >= 1, got {xmin}")
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= xmin)
+    )
+    return deg.agg(
+        F.count("*").alias("n_tail"),
+        (
+            F.lit(1.0)
+            + F.count("*")
+            / F.sum(F.log(F.col("deg").cast("double") / F.lit(float(xmin))))
+        ).alias("alpha"),
+    )
