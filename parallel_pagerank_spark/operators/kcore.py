@@ -6,7 +6,12 @@ subgraph of the undirected simple graph in which every vertex has degree
 >= k. Computed by synchronously deleting all vertices of degree < k until
 a fixpoint — each superstep is one degree aggregation plus two semi-joins
 (no arrays, no windows), the same persist/truncate superstep skeleton as
-CC/LPA.
+CC/LPA. The per-round eager localCheckpoint is NOT optional: the loop
+references ``cur`` three times per round (directly plus twice through
+``keep``), so an un-truncated logical plan grows ~3^rounds and the
+analyzer's self-join attribute deduplication pins the driver CPU long
+before the job itself is expensive (the plan-doubling hazard documented
+at operators/pagerank.py:26-31).
 
 Returns the surviving vertices with their degree inside the core.
 Vertices outside the core are absent (an empty result means the k-core is
@@ -45,7 +50,7 @@ def k_core(
     cur = (
         symmetrize(edges)
         .repartition(num_parts, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     n_edges = cur.count()
     metrics: list[dict] = []
@@ -63,6 +68,9 @@ def k_core(
         # delete every vertex below k simultaneously (synchronous round):
         # an edge survives iff BOTH endpoints survive. keep is shrunken
         # per round — semi-joins, never arrays.
+        # eager localCheckpoint materializes AND truncates lineage so the
+        # next round's plan starts from a flat LogicalRDD, not a tree that
+        # triples in depth per round
         nxt = (
             cur.join(keep, "src", "left_semi")
             .join(
@@ -70,7 +78,7 @@ def k_core(
             )
             .select("src", "dst")
             .repartition(num_parts, "src")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         n_next = nxt.count()
         keep.unpersist()
@@ -78,9 +86,7 @@ def k_core(
         metrics.append(
             {"superstep": steps, "edges": n_next, "removed": n_edges - n_next}
         )
-        old = cur
-        cur = nxt
-        old.unpersist()
+        cur = nxt  # old checkpoint RDDs are released by the ContextCleaner
         if n_next == n_edges:
             converged = True
             break

@@ -16,9 +16,10 @@ as ordered wedges joined against the closing edge — every triangle
 a<b<c appears exactly once because all three edges are canonical
 (u < v), so support counting needs no dedup. Two hash joins + one
 aggregation per round, all keyed on edge endpoints; the current edge
-set is persisted and lineage-truncated per round (the loop references
-it three times — the plan-doubling hazard documented at
-operators/pagerank.py:26-31). For hub-skewed graphs the wedge join is
+set is materialized AND lineage-truncated per round with an eager
+localCheckpoint (the loop references it four times — three wedge sides
+plus the survival join — so an un-truncated plan grows ~4^rounds; the
+plan-doubling hazard documented at operators/pagerank.py:26-31). For hub-skewed graphs the wedge join is
 the classic candidate for degree orientation (enumerate from the
 lower-degree endpoint, triangles.py:34 does this for counting); the
 ordered a<b<c form used here keeps support attribution trivially
@@ -30,7 +31,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 @dataclass
@@ -81,7 +81,7 @@ def k_truss(
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .repartition(num_parts, "u")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     n_cur = cur.count()
     metrics: list[dict] = [{"round": 0, "edges": n_cur}]
@@ -91,15 +91,16 @@ def k_truss(
     while rounds < max_rounds and not converged:
         rounds += 1
         sup = _support(cur)
+        # eager localCheckpoint: materializes and truncates lineage so the
+        # next round plans from a flat LogicalRDD (see module docstring)
         nxt = (
             cur.join(sup.filter(F.col("support") >= k - 2), ["u", "v"])
             .select("u", "v")
             .repartition(num_parts, "u")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
         n_nxt = nxt.count()
-        cur.unpersist()
-        cur = nxt
+        cur = nxt  # old checkpoint RDDs are released by the ContextCleaner
         metrics.append({"round": rounds, "edges": n_nxt})
         if n_nxt == n_cur:
             converged = True
