@@ -1106,6 +1106,25 @@ def _q_top_docs_per_lang(spark, sf_dir):
     )
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (functions/splits.py):
+    portable multiplicative hash, bit-identical in Spark and DuckDB."""
+    from parallel_pagerank_spark.functions.splits import assign_split
+
+    return assign_split(_documents(spark, sf_dir), id_col="doc_id").select(
+        "doc_id", "split"
+    )
+
+
+def _q_bigram_lift(spark, sf_dir):
+    """Corpus collocations by lift (log-free PMI core — functions/text.py
+    bigram_lift): exact integer counts + one IEEE division chain, so the
+    DuckDB oracle hash-matches with no float tolerance."""
+    from parallel_pagerank_spark.functions.text import bigram_lift
+
+    return bigram_lift(_documents(spark, sf_dir), min_pair_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1175,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss3": _q_k_truss3,
         "pr_convergence10": _q_pr_convergence10,
         "emb_quantize": _q_emb_quantize,
+        "dataset_split": _q_dataset_split,
+        "bigram_lift": _q_bigram_lift,
     }
 
 
@@ -2306,4 +2327,47 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "k_truss3": _ktruss_sql(3),
         "pr_convergence10": _pagerank_fixed_sql(10, trajectory=True),
         "emb_quantize": _emb_quantize_sql(),
+        "dataset_split": _dataset_split_sql(),
+        "bigram_lift": _bigram_lift_sql(5),
     }
+
+
+def _dataset_split_sql() -> str:
+    # generated by the SAME helper the engine uses, so the bucket
+    # arithmetic and split bounds cannot drift apart
+    from parallel_pagerank_spark.functions.splits import split_case_sql
+
+    return (
+        f"SELECT doc_id, {split_case_sql('doc_id')} AS split FROM documents"
+    )
+
+
+def _bigram_lift_sql(min_pair_count: int) -> str:
+    # parenthesization mirrors functions/text.bigram_lift exactly:
+    # ((pair*tw)*tw) / ((tp*c1)*c2) — one IEEE division chain over exact
+    # integer counts, bit-identical across engines
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id,
+           generate_subscripts(string_split({_NORM_TEXT_SQL}, ' '), 1) AS pos,
+           unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS w
+    FROM documents)
+  WHERE w <> ''),
+pairs AS MATERIALIZED (
+  SELECT w1, w2 FROM (
+    SELECT w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks) WHERE w2 IS NOT NULL),
+wc AS MATERIALIZED (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tw AS (SELECT count(*)::DOUBLE AS t FROM toks),
+tp AS (SELECT count(*)::DOUBLE AS t FROM pairs),
+pc AS (SELECT w1, w2, count(*) AS pair_count FROM pairs GROUP BY w1, w2)
+SELECT pc.w1, pc.w2, pc.pair_count, c1.c AS c1, c2.c AS c2,
+       (pc.pair_count::DOUBLE * tw.t * tw.t)
+         / (tp.t * c1.c::DOUBLE * c2.c::DOUBLE) AS lift
+FROM pc
+JOIN wc c1 ON pc.w1 = c1.w
+JOIN wc c2 ON pc.w2 = c2.w
+CROSS JOIN tw CROSS JOIN tp
+WHERE pc.pair_count >= {min_pair_count}
+"""

@@ -1,0 +1,102 @@
+"""Deterministic train/validation/test assignment for corpus pipelines.
+
+No reference counterpart (the reference is a numeric PageRank engine);
+this is the standard reproducible-split primitive a 100 TB training-data
+pipeline needs: every row is assigned to a named split purely as a
+function of its id (and an optional salt), so the assignment is stable
+across runs, machines, re-partitioning, and engine versions — and a
+different salt re-deals the whole split without touching the data.
+
+Two hash tiers:
+
+- ``method="portable"`` (default): a Knuth multiplicative hash computed
+  entirely in int64 arithmetic whose every intermediate stays below
+  2^62, so Spark, DuckDB, and numpy produce bit-identical buckets —
+  this is what the driver's DuckDB oracle checks. The id is first
+  reduced mod a prime so the product cannot overflow for any int64 id.
+- ``method="xxhash64"``: Spark's built-in xxhash64 for adversarial /
+  structured id spaces (sequential ids are fine under the portable
+  hash; ids that are themselves multiples of large powers of two are
+  not). Not SQL-portable, hence not the oracle path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Knuth's multiplicative constant (2^32 * golden ratio) and a Mersenne-31
+# prime reduction: ((id mod P) * K) mod 2^32 — max intermediate
+# (P-1) * K < 2^31 * 2^32 = 2^63, exact in int64 everywhere.
+_P = 2_147_483_647  # 2^31 - 1
+_K = 2_654_435_761
+_M = 4_294_967_296  # 2^32
+
+DEFAULT_SPLITS = (("train", 0.9), ("valid", 0.05), ("test", 0.05))
+
+
+def split_bucket(
+    id_col: Column, salt: int = 0, method: str = "portable"
+) -> Column:
+    """Uniform bucket in [0, 2^32) as a deterministic function of the id."""
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_M))
+    if method != "portable":
+        raise ValueError(f"unknown split hash method: {method!r}")
+    reduced = F.pmod(id_col.cast("long") + F.lit(salt), F.lit(_P))
+    return F.pmod(reduced * F.lit(_K), F.lit(_M))
+
+
+def split_bucket_sql(id_expr: str, salt: int = 0) -> str:
+    """The portable bucket as ANSI SQL (DuckDB oracle mirror)."""
+    return (
+        f"(((({id_expr})::BIGINT + {salt}) % {_P} + {_P}) % {_P}"
+        f" * {_K}) % {_M}"
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    salt: int = 0,
+    method: str = "portable",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction.
+
+    ``splits`` is an ordered (name, fraction) tuple summing to 1.0; the
+    bucket space [0, 2^32) is carved into contiguous integer ranges in
+    that order, so enlarging an early split keeps every row it already
+    owned (monotone split growth — rows only ever move OUT of later
+    splits). Pure Column arithmetic: no shuffle, no Python, survives
+    any partitioning.
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = split_bucket(F.col(id_col), salt=salt, method=method)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, frac in splits[:-1]:
+        acc += frac
+        bounds.append((name, int(acc * _M)))
+    expr: Column = F.lit(splits[-1][0])
+    for name, ub in reversed(bounds):
+        expr = F.when(bucket < F.lit(ub), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_case_sql(
+    id_expr: str,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    salt: int = 0,
+) -> str:
+    """CASE expression mirroring :func:`assign_split` for the oracle."""
+    bucket = split_bucket_sql(id_expr, salt=salt)
+    acc = 0.0
+    arms = []
+    for name, frac in splits[:-1]:
+        acc += frac
+        arms.append(f"WHEN {bucket} < {int(acc * _M)} THEN '{name}'")
+    return (
+        "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+    )

@@ -333,3 +333,85 @@ def repetition_signals(
             .alias("top_bigram_frac"),
         )
     )
+
+
+def bigram_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Corpus-level collocation mining: adjacent word pairs of the
+    canonical normalized text scored by lift,
+
+        lift(w1, w2) = P(w1 w2) / (P(w1) * P(w2))
+                     = (pair_count * total_words^2)
+                       / (total_pairs * c(w1) * c(w2))
+
+    the log-free core of PMI (PMI = log2(lift); Church & Hanks 1990).
+    Log is deliberately NOT applied so every arithmetic step is exact
+    integer counting followed by one IEEE division chain that DuckDB
+    reproduces bit-for-bit — the driver oracle hash-matches without
+    float-tolerance games. Returns
+    (w1, w2, pair_count, c1, c2, lift) for pairs with
+    pair_count >= min_pair_count.
+
+    Scale shape: pairs are derived ARRAY-SIDE per document (transform
+    over sequence, same pattern as repetition_signals) — no window, no
+    per-document shuffle, the only shuffles are the two hash
+    aggregations keyed on the pair / the word. The two global totals
+    are single scalar aggs folded into the final projection as
+    literals. No Python in the pipeline.
+    """
+    w = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda x: x != F.lit(""),
+    )
+    arr = docs.select(w.alias("w"))
+    words = arr.select(F.explode("w").alias("w"))
+    pairs = arr.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(1)),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("w1"),
+                        F.element_at("w", i + F.lit(1)).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_c = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    word_c = words.groupBy("w").agg(F.count("*").alias("c"))
+    total_words = words.count()
+    total_pairs = pairs.count()
+    c1 = word_c.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = word_c.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    # word-count side is tiny relative to the pair table: broadcast both
+    from pyspark.sql.functions import broadcast
+
+    return (
+        pair_c.filter(F.col("pair_count") >= min_pair_count)
+        .join(broadcast(c1), "w1")
+        .join(broadcast(c2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "c1",
+            "c2",
+            (
+                (
+                    F.col("pair_count").cast("double")
+                    * F.lit(float(total_words))
+                    * F.lit(float(total_words))
+                )
+                / (
+                    F.lit(float(total_pairs))
+                    * F.col("c1").cast("double")
+                    * F.col("c2").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )

@@ -128,8 +128,14 @@ def connected_components(
     checkpoint_interval: int = 5,
     num_partitions: int | None = None,
     fast_path_edges: int = 10_000_000,
+    resume: bool = False,
 ) -> ComponentsResult:
     """Synchronous min-label propagation to fixpoint.
+
+    ``resume=True`` continues from the latest durable checkpoint under
+    ``checkpoint_dir`` (same manifest contract as PageRank): the label
+    snapshot, superstep counter, and per-superstep metrics are restored,
+    and a run that had already converged returns immediately.
 
     Small dense-id graphs (E <= fast_path_edges under the default vertex
     rule, no checkpointing) auto-route to the vectorized fast path — the
@@ -160,13 +166,28 @@ def connected_components(
         num_parts, "id", checkpointer=ckpt,
         truncate_interval=checkpoint_interval,
     )
-    labels = state.init(
-        vertices.select("id", F.col("id").alias("label"))
-    )
 
     metrics: list[dict] = []
     steps = 0
     converged = False
+    labels = None
+    if resume:
+        snap = ckpt.load_latest(spark)
+        if snap is not None:
+            labels, steps, metrics, was_converged = snap
+            if was_converged:
+                sym.unpersist()
+                return ComponentsResult(
+                    labels.select("id", F.col("label").alias("component")),
+                    steps,
+                    True,
+                    metrics,
+                )
+            labels = state.init(labels.select("id", "label"))
+    if labels is None:
+        labels = state.init(
+            vertices.select("id", F.col("id").alias("label"))
+        )
     while steps < max_iter:
         # neighbor minimum: push each vertex's label along every edge,
         # take min at the destination. Both join sides are pre-partitioned

@@ -77,6 +77,36 @@ def test_resume_from_partial_checkpoint(spark, tmp_path):
     )
 
 
+def test_components_resume_from_partial_checkpoint(spark, tmp_path):
+    """Same resume contract for connected components: interrupt the
+    min-label loop mid-run, resume from the durable manifest, and land on
+    the identical labeling and total superstep count as an unbroken run."""
+    from parallel_pagerank_spark.operators.components import (
+        connected_components,
+    )
+
+    ck = str(tmp_path / "ck_cc")
+    path_edges = [(i, i + 1) for i in range(11)]  # diameter-11 path
+    df = edges_df(spark, path_edges)
+    full = connected_components(df, fast_path_edges=0)
+    partial = connected_components(
+        df, max_iter=5, checkpoint_dir=ck, checkpoint_interval=2
+    )
+    assert not partial.converged
+    resumed = connected_components(
+        df, checkpoint_dir=ck, checkpoint_interval=2, resume=True
+    )
+    assert resumed.converged
+    assert resumed.supersteps == full.supersteps == 12
+    got = {r["id"]: r["component"] for r in resumed.components.collect()}
+    assert got == {i: 0 for i in range(12)}
+    # resuming a converged run returns immediately from the manifest
+    again = connected_components(
+        df, checkpoint_dir=ck, checkpoint_interval=2, resume=True
+    )
+    assert again.converged and again.supersteps == 12
+
+
 def test_edge_list_roundtrip(spark, tmp_path):
     df = edges_df(spark, SMALL_GRAPH)
     path = str(tmp_path / "edges_out")

@@ -1,0 +1,104 @@
+"""Round-3 wave 7: dataset splits, bigram lift, SCC."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_pagerank_spark.functions.splits import (
+    DEFAULT_SPLITS,
+    assign_split,
+    split_case_sql,
+)
+from parallel_pagerank_spark.functions.text import bigram_lift
+
+
+def test_assign_split_fractions_and_determinism(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, id_col="doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / 20_000 - 0.9) < 0.02
+    assert abs(counts["valid"] / 20_000 - 0.05) < 0.01
+    assert abs(counts["test"] / 20_000 - 0.05) < 0.01
+    # deterministic: a second evaluation is identical
+    again = assign_split(df, id_col="doc_id")
+    assert out.exceptAll(again).count() == 0
+
+
+def test_assign_split_monotone_growth(spark):
+    """Enlarging an earlier split only ever steals rows from later ones:
+    every row train owned at 80% it still owns at 90%."""
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    small = assign_split(
+        df, id_col="doc_id", splits=(("train", 0.8), ("rest", 0.2))
+    )
+    big = assign_split(
+        df, id_col="doc_id", splits=(("train", 0.9), ("rest", 0.1))
+    )
+    small_train = {
+        r["doc_id"] for r in small.filter("split = 'train'").collect()
+    }
+    big_train = {r["doc_id"] for r in big.filter("split = 'train'").collect()}
+    assert small_train <= big_train
+
+
+def test_assign_split_salt_and_xxhash(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    base = assign_split(df, id_col="doc_id")
+    salted = assign_split(df, id_col="doc_id", salt=7)
+    # a salt re-deals the split: some rows must move
+    joined = base.withColumnRenamed("split", "a").join(
+        salted.withColumnRenamed("split", "b"), "doc_id"
+    )
+    assert joined.filter("a <> b").count() > 0
+    xx = assign_split(df, id_col="doc_id", method="xxhash64")
+    counts = {r["split"]: r["count"] for r in xx.groupBy("split").count().collect()}
+    assert abs(counts["train"] / 5_000 - 0.9) < 0.03
+    with pytest.raises(ValueError):
+        assign_split(df, id_col="doc_id", method="md5")
+    with pytest.raises(ValueError):
+        assign_split(df, id_col="doc_id", splits=(("a", 0.5), ("b", 0.4)))
+
+
+def test_split_sql_mirror_matches_engine(spark):
+    """The generated CASE SQL (driver oracle) and the Column expression
+    agree row-for-row — run the SQL through Spark itself."""
+    df = spark.range(3_000).withColumnRenamed("id", "doc_id")
+    df.createOrReplaceTempView("split_probe")
+    via_sql = spark.sql(
+        f"SELECT doc_id, {split_case_sql('doc_id')} AS split "
+        "FROM split_probe"
+    )
+    via_col = assign_split(df, id_col="doc_id", splits=DEFAULT_SPLITS)
+    assert via_col.select("doc_id", "split").exceptAll(via_sql).count() == 0
+
+
+def test_bigram_lift_hand_checked(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b"),
+            (1, "a b c"),
+            (2, "c c"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in bigram_lift(docs, min_pair_count=1).collect()
+    }
+    # tokens: a=3 b=3 c=3, total_words=9
+    # pairs: (a,b)x3 (b,a)x1 (b,c)x1 (c,c)x1 -> total_pairs=6
+    assert got[("a", "b")]["pair_count"] == 3
+    assert got[("c", "c")]["pair_count"] == 1
+    lift_ab = (3 * 9.0 * 9.0) / (6.0 * 3.0 * 3.0)
+    assert got[("a", "b")]["lift"] == pytest.approx(lift_ab)
+    assert got[("b", "c")]["c1"] == 3 and got[("b", "c")]["c2"] == 3
+    # min_pair_count filters
+    only = bigram_lift(docs, min_pair_count=2).collect()
+    assert [(r["w1"], r["w2"]) for r in only] == [("a", "b")]
