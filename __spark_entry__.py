@@ -1125,6 +1125,32 @@ def _q_bigram_lift(spark, sf_dir):
     return bigram_lift(_documents(spark, sf_dir), min_pair_count=5)
 
 
+def _q_scc(spark, sf_dir):
+    """Strongly connected components (operators/scc.py coloring peel) on
+    a cyclic link graph: the user_id % 30 == 0 subset's reply chains are
+    closed into per-user rings by wrap_edges, plus handoff links. The
+    DuckDB oracle is an independent formulation — recursive-CTE
+    transitive closure, scc(v) = least(v, min u with u->v and v->u) —
+    feasible because the filtered subgraph bounds closure size."""
+    from parallel_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from parallel_pagerank_spark.sources.events import (
+        handoff_edges,
+        reply_edges,
+        wrap_edges,
+    )
+
+    ev = _events(spark, sf_dir).filter((F.col("user_id") % 30) == 0)
+    edges = (
+        reply_edges(ev)
+        .unionByName(handoff_edges(ev))
+        .unionByName(wrap_edges(ev))
+    )
+    res = strongly_connected_components(edges)
+    return res.components.select("id", "scc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1196,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "dataset_split": _q_dataset_split,
         "bigram_lift": _q_bigram_lift,
+        "scc": _q_scc,
     }
 
 
@@ -2329,6 +2356,7 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "emb_quantize": _emb_quantize_sql(),
         "dataset_split": _dataset_split_sql(),
         "bigram_lift": _bigram_lift_sql(5),
+        "scc": _scc_reach_sql(30),
     }
 
 
@@ -2370,4 +2398,51 @@ JOIN wc c1 ON pc.w1 = c1.w
 JOIN wc c2 ON pc.w2 = c2.w
 CROSS JOIN tw CROSS JOIN tp
 WHERE pc.pair_count >= {min_pair_count}
+"""
+
+
+def _scc_reach_sql(user_mod: int) -> str:
+    """SCC oracle by recursive-CTE transitive closure — an INDEPENDENT
+    formulation from the engine's coloring peel (stronger check than an
+    unrolled mirror). Closure is O(V^2) on a giant component, which is
+    why this runs on the user_id % {mod} == 0 subgraph only."""
+    return f"""
+WITH RECURSIVE
+ev AS MATERIALIZED (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE user_id % {user_mod} = 0),
+reply AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+handoff AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+wrap AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra
+    FROM ev) WHERE rd = 1 AND ra > 1),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT * FROM reply UNION ALL SELECT * FROM handoff
+    UNION ALL SELECT * FROM wrap)),
+reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+mutual AS (
+  SELECT r1.b AS v, r1.a AS u FROM reach r1
+  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+maxid AS (SELECT greatest(max(src), max(dst)) AS m FROM edges),
+verts AS (
+  SELECT unnest(generate_series(0, (SELECT m FROM maxid))) AS id)
+SELECT v.id, least(v.id, coalesce(min(mu.u), v.id)) AS scc
+FROM verts v LEFT JOIN mutual mu ON mu.v = v.id
+GROUP BY v.id
 """

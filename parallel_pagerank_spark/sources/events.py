@@ -120,3 +120,29 @@ def cooccurrence_edges(events: DataFrame, window: int = 2) -> DataFrame:
             F.greatest("id", "other").alias("dst"),
         )
     )
+
+
+def wrap_edges(events: DataFrame, partition_col: str = "user_id") -> DataFrame:
+    """One closing edge per partition: last event -> first event under the
+    stable (ts, event_id) order. Composed with reply_edges this turns each
+    per-user chain into a directed ring — the standard way to give a
+    time-ordered (hence acyclic) link derivation a non-trivial
+    strongly-connected structure. Single-event partitions produce no edge
+    (no self-loops). One window pass, no join."""
+    w_asc = Window.partitionBy(partition_col).orderBy("ts", "event_id")
+    w_desc = Window.partitionBy(partition_col).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = events.select(
+        "event_id",
+        F.row_number().over(w_asc).alias("ra"),
+        F.row_number().over(w_desc).alias("rd"),
+        F.first("event_id").over(w_asc).alias("first_id"),
+    )
+    return (
+        ranked.filter((F.col("rd") == 1) & (F.col("ra") > 1))
+        .select(
+            F.col("event_id").alias("src"),
+            F.col("first_id").alias("dst"),
+        )
+    )

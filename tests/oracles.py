@@ -248,3 +248,57 @@ def k_core_oracle(
                 alive.discard(v)
                 changed = True
     return {v: len(adj[v] & alive) for v in alive}
+
+
+def scc_oracle(edges: list[tuple[int, int]], n: int) -> dict[int, int]:
+    """Iterative Tarjan SCC over vertices 0..n-1: returns
+    {vertex: min vertex id of its SCC} (matching the engine's labeling
+    rule)."""
+    adj = defaultdict(list)
+    for s, t in edges:
+        adj[s].append(t)
+    index = {}
+    lowlink = {}
+    on_stack = set()
+    stack = []
+    comp_of = {}
+    counter = [0]
+    for root in range(n):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = lowlink[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    lowlink[v] = min(lowlink[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if work:
+                u = work[-1][0]
+                lowlink[u] = min(lowlink[u], lowlink[v])
+            if lowlink[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    comp_of[w] = m
+    return comp_of

@@ -102,3 +102,103 @@ def test_bigram_lift_hand_checked(spark):
     # min_pair_count filters
     only = bigram_lift(docs, min_pair_count=2).collect()
     assert [(r["w1"], r["w2"]) for r in only] == [("a", "b")]
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, ["src", "dst"])
+
+
+SCC_GRAPH = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3), (5, 6)]
+
+
+def test_scc_hand_graph_both_tiers(spark):
+    from parallel_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from .oracles import scc_oracle
+
+    want = scc_oracle(SCC_GRAPH, 7)
+    df = _edges_df(spark, SCC_GRAPH)
+    fast = strongly_connected_components(df)
+    assert fast.mode == "vectorized" and fast.converged
+    assert {r["id"]: r["scc"] for r in fast.components.collect()} == want
+    dist = strongly_connected_components(df, fast_path_edges=0)
+    assert dist.mode == "dataframe" and dist.converged
+    assert {r["id"]: r["scc"] for r in dist.components.collect()} == want
+
+
+def test_scc_random_graph_vs_tarjan(spark):
+    """Seeded G(n, p) digraph: both tiers must reproduce Tarjan exactly."""
+    import random
+
+    from parallel_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from .oracles import scc_oracle
+
+    rng = random.Random(4242)
+    n = 60
+    edges = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(150)
+        }
+    )
+    edges = [(s, t) for s, t in edges if s != t]
+    want = scc_oracle(edges, n)
+    want.update({v: v for v in range(n) if v not in want})
+    df = _edges_df(spark, edges)
+    fast = strongly_connected_components(df)
+    got_fast = {r["id"]: r["scc"] for r in fast.components.collect()}
+    assert got_fast == want
+    dist = strongly_connected_components(df, fast_path_edges=0)
+    got = {r["id"]: r["scc"] for r in dist.components.collect()}
+    assert got == want
+
+
+def test_scc_dag_and_singletons(spark):
+    from parallel_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    # pure DAG: every vertex is its own SCC
+    dag = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    res = strongly_connected_components(_edges_df(spark, dag))
+    assert {r["id"]: r["scc"] for r in res.components.collect()} == {
+        i: i for i in range(4)
+    }
+
+
+def test_wrap_edges(spark):
+    from parallel_pagerank_spark.sources.events import wrap_edges
+
+    import datetime
+
+    t = lambda s: datetime.datetime(2026, 1, 1, 0, 0, s)
+    ev = spark.createDataFrame(
+        [
+            (10, t(1), 1, "a"),
+            (11, t(2), 1, "a"),
+            (12, t(3), 1, "b"),
+            (20, t(1), 2, "a"),  # single-event user: no wrap edge
+            (30, t(2), 3, "b"),
+            (31, t(1), 3, "b"),  # earlier ts -> 31 is the first event
+        ],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in wrap_edges(ev).collect()
+    )
+    assert got == [(12, 10), (30, 31)]
+
+
+def test_scc_empty_and_self_loop(spark):
+    from parallel_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    loop = strongly_connected_components(_edges_df(spark, [(0, 0), (0, 1)]))
+    assert {r["id"]: r["scc"] for r in loop.components.collect()} == {
+        0: 0,
+        1: 1,
+    }
