@@ -1151,6 +1151,33 @@ def _q_scc(spark, sf_dir):
     return res.components.select("id", "scc")
 
 
+def _q_scc_dag(spark, sf_dir):
+    """Condensation DAG of the scc query's subgraph: one row per ordered
+    SCC pair with a cross-edge (operators/scc.condensation_edges).
+    Edges deduped first to match the oracle's DISTINCT edge set."""
+    from parallel_pagerank_spark.operators.scc import (
+        condensation_edges,
+        strongly_connected_components,
+    )
+    from parallel_pagerank_spark.sources.events import (
+        handoff_edges,
+        reply_edges,
+        wrap_edges,
+    )
+
+    ev = _events(spark, sf_dir).filter((F.col("user_id") % 30) == 0)
+    # rings for only half the users (% 60): full wraps collapse the whole
+    # subgraph into one SCC and the condensation would be empty
+    edges = (
+        reply_edges(ev)
+        .unionByName(handoff_edges(ev))
+        .unionByName(wrap_edges(ev.filter((F.col("user_id") % 60) == 0)))
+        .distinct()
+    )
+    res = strongly_connected_components(edges)
+    return condensation_edges(edges, res.components)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1223,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "bigram_lift": _q_bigram_lift,
         "scc": _q_scc,
+        "scc_dag": _q_scc_dag,
     }
 
 
@@ -2357,6 +2385,18 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "dataset_split": _dataset_split_sql(),
         "bigram_lift": _bigram_lift_sql(5),
         "scc": _scc_reach_sql(30),
+        "scc_dag": _scc_reach_sql(
+            30,
+            wrap_mod=60,
+            final=(
+                "SELECT a.scc AS src_scc, b.scc AS dst_scc, "
+                "count(*) AS n_links "
+                "FROM edges e "
+                "JOIN labeling a ON e.src = a.id "
+                "JOIN labeling b ON e.dst = b.id "
+                "WHERE a.scc <> b.scc GROUP BY a.scc, b.scc"
+            ),
+        ),
     }
 
 
@@ -2401,11 +2441,23 @@ WHERE pc.pair_count >= {min_pair_count}
 """
 
 
-def _scc_reach_sql(user_mod: int) -> str:
+def _scc_reach_sql(
+    user_mod: int,
+    final: str = "SELECT id, scc FROM labeling",
+    wrap_mod: int | None = None,
+) -> str:
     """SCC oracle by recursive-CTE transitive closure — an INDEPENDENT
     formulation from the engine's coloring peel (stronger check than an
     unrolled mirror). Closure is O(V^2) on a giant component, which is
-    why this runs on the user_id % {mod} == 0 subgraph only."""
+    why this runs on the user_id % {mod} == 0 subgraph only.
+    ``wrap_mod`` restricts the ring-closing wrap edges to a sub-subset of
+    users so the condensation DAG is non-trivial (full wraps collapse the
+    whole subgraph into one SCC)."""
+    wrap_src = (
+        f"SELECT * FROM ev WHERE user_id % {wrap_mod} = 0"
+        if wrap_mod
+        else "SELECT * FROM ev"
+    )
     return f"""
 WITH RECURSIVE
 ev AS MATERIALIZED (
@@ -2427,7 +2479,7 @@ wrap AS (
            first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
            row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra
-    FROM ev) WHERE rd = 1 AND ra > 1),
+    FROM ({wrap_src})) WHERE rd = 1 AND ra > 1),
 edges AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
     SELECT * FROM reply UNION ALL SELECT * FROM handoff
@@ -2441,8 +2493,10 @@ mutual AS (
   JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
 maxid AS (SELECT greatest(max(src), max(dst)) AS m FROM edges),
 verts AS (
-  SELECT unnest(generate_series(0, (SELECT m FROM maxid))) AS id)
-SELECT v.id, least(v.id, coalesce(min(mu.u), v.id)) AS scc
-FROM verts v LEFT JOIN mutual mu ON mu.v = v.id
-GROUP BY v.id
+  SELECT unnest(generate_series(0, (SELECT m FROM maxid))) AS id),
+labeling AS (
+  SELECT v.id, least(v.id, coalesce(min(mu.u), v.id)) AS scc
+  FROM verts v LEFT JOIN mutual mu ON mu.v = v.id
+  GROUP BY v.id)
+{final}
 """

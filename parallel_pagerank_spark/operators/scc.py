@@ -248,3 +248,33 @@ def strongly_connected_components(
             active_v.select("id", F.col("id").alias("scc"))
         )
     return SccResult(out, rounds, converged, metrics)
+
+
+def condensation_edges(edges: DataFrame, scc: DataFrame) -> DataFrame:
+    """Collapse each SCC to a single vertex: the condensation DAG.
+
+    ``scc`` is the (id, scc) labeling from
+    :func:`strongly_connected_components`. Returns one row per ordered
+    SCC pair with at least one cross-edge:
+    (src_scc, dst_scc, n_links) — intra-SCC edges drop out. The result
+    is acyclic by construction (textbook property of the condensation).
+
+    Scale shape: two hash joins keyed on the edge endpoints (the SCC
+    labeling is usually far smaller than the edge list after dedup, but
+    both sides shuffle on their join key and AQE may broadcast the
+    labeling when it fits) + one aggregation on the SCC pair.
+    """
+    s_src = scc.select(
+        F.col("id").alias("src"), F.col("scc").alias("src_scc")
+    )
+    s_dst = scc.select(
+        F.col("id").alias("dst"), F.col("scc").alias("dst_scc")
+    )
+    return (
+        edges.select("src", "dst")
+        .join(s_src, "src")
+        .join(s_dst, "dst")
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count("*").alias("n_links"))
+    )

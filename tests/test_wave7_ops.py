@@ -202,3 +202,21 @@ def test_scc_empty_and_self_loop(spark):
         0: 0,
         1: 1,
     }
+
+
+def test_condensation_edges(spark):
+    from parallel_pagerank_spark.operators.scc import (
+        condensation_edges,
+        strongly_connected_components,
+    )
+
+    df = _edges_df(spark, SCC_GRAPH)
+    res = strongly_connected_components(df)
+    cond = {
+        (r["src_scc"], r["dst_scc"]): r["n_links"]
+        for r in condensation_edges(df, res.components).collect()
+    }
+    # SCCs: {0,1,2}->0, {3,4,5}->3, {6}->6; cross-edges 2->3 and 5->6
+    assert cond == {(0, 3): 1, (3, 6): 1}
+    # acyclic: no pair appears in both directions
+    assert all((b, a) not in cond for a, b in cond)
