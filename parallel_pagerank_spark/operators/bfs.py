@@ -26,8 +26,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
+
+from .components import _route_fast
 
 
 @dataclass
@@ -36,6 +40,61 @@ class BfsResult:
     supersteps: int
     converged: bool  # True iff the frontier emptied before max_hops
     metrics: list[dict] = field(default_factory=list)
+    mode: str = "dataframe"
+
+
+def _bfs_fast(
+    edges: DataFrame,
+    sources: DataFrame,
+    n: int,
+    max_hops: int,
+    directed: bool,
+) -> BfsResult | None:
+    """Driver-side vectorized frontier BFS — integer hop distances, so
+    the result is bit-identical to the distributed loop. Returns None
+    (caller falls back to the distributed path) when any source id is
+    outside the dense [0, n) space the edge list defined."""
+    s_ids = sources.select("id").distinct().toPandas()["id"].to_numpy(
+        dtype=np.int64
+    )
+    if len(s_ids) and (s_ids.min() < 0 or s_ids.max() >= n):
+        return None
+    pdf = edges.select("src", "dst").toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    if not directed:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[s_ids] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[s_ids] = True
+    n_frontier = len(s_ids)
+    metrics: list[dict] = [{"superstep": 0, "frontier": n_frontier}]
+    steps = 0
+    converged = n_frontier == 0
+    while steps < max_hops and n_frontier > 0:
+        steps += 1
+        cand = dst[frontier[src]]
+        nxt = np.zeros(n, dtype=bool)
+        nxt[cand] = True
+        nxt &= dist < 0
+        dist[nxt] = steps
+        frontier = nxt
+        n_frontier = int(nxt.sum())
+        metrics.append({"superstep": steps, "frontier": n_frontier})
+        if n_frontier == 0:
+            converged = True
+    reached = dist >= 0
+    spark = edges.sparkSession
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.flatnonzero(reached).astype(np.int64),
+                "dist": dist[reached],
+            }
+        )
+    )
+    return BfsResult(out, steps, converged, metrics, mode="vectorized")
 
 
 def bfs_distances(
@@ -44,13 +103,22 @@ def bfs_distances(
     max_hops: int = 8,
     directed: bool = True,
     num_partitions: int | None = None,
+    fast_path_edges: int = 10_000_000,
 ) -> BfsResult:
     """Hop distance from the nearest source along ``edges``.
 
     sources: DataFrame with an ``id`` column (duplicates fine).
     directed=False symmetrizes first. Unreached vertices are absent from
     the result (callers wanting the dense rule can left-join
-    graph.vertices_from_edges)."""
+    graph.vertices_from_edges). Small dense-id graphs auto-route to a
+    vectorized numpy tier — integer distances, bit-identical results —
+    under the same bounds/guard/opt-out as the components fast path
+    (``BfsResult.mode`` reports which ran)."""
+    n_fast = _route_fast(edges, None, fast_path_edges)
+    if n_fast is not None:
+        fast = _bfs_fast(edges, sources, n_fast, max_hops, directed)
+        if fast is not None:
+            return fast
     spark = edges.sparkSession
     num_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")

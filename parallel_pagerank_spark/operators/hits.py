@@ -30,9 +30,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .components import _route_fast
 from .graph import vertices_from_edges
 
 
@@ -41,6 +44,44 @@ class HitsResult:
     scores: DataFrame  # (id: long, hub: double, authority: double)
     iterations: int
     metrics: list[dict] = field(default_factory=list)
+    # "dataframe" = distributed superstep loop (the scale path);
+    # "vectorized" = driver-side numpy tier for small dense-id graphs
+    mode: str = "dataframe"
+
+
+def _hits_fast(edges: DataFrame, n: int, max_iter: int) -> HitsResult:
+    """Driver-side vectorized HITS: the same sparse L1-normalized
+    half-steps as the distributed loop (bincount = the gather sum), so
+    score trajectories are identical up to float summation order.
+    DRIVER-MEMORY NOTE: same footprint/boundaries as the components
+    fast tier; pass fast_path_edges=0 to force the distributed loop."""
+    pdf = edges.select("src", "dst").toPandas()
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    spark = edges.sparkSession
+    ids = np.arange(n, dtype=np.int64)
+    if len(src) == 0:
+        out = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": ids, "hub": np.zeros(n), "authority": np.zeros(n)}
+            )
+        )
+        return HitsResult(out, 0, [], mode="vectorized")
+    hub = np.zeros(n)
+    n_src = len(np.unique(src))
+    hub[src] = 1.0 / n_src
+    auth = np.zeros(n)
+    metrics: list[dict] = []
+    for it in range(1, max_iter + 1):
+        a_raw = np.bincount(dst, weights=hub[src], minlength=n)
+        auth = a_raw / a_raw.sum()
+        h_raw = np.bincount(src, weights=auth[dst], minlength=n)
+        hub = h_raw / h_raw.sum()
+        metrics.append({"iteration": it})
+    out = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "hub": hub, "authority": auth})
+    )
+    return HitsResult(out, max_iter, metrics, mode="vectorized")
 
 
 def _l1_normalized(raw: DataFrame, out_col: str) -> DataFrame:
@@ -59,12 +100,18 @@ def hits(
     max_iter: int = 10,
     vertices: DataFrame | None = None,
     num_partitions: int | None = None,
+    fast_path_edges: int = 10_000_000,
 ) -> HitsResult:
     """Fixed-iteration HITS. ``max_iter`` full authority+hub rounds; L1
     normalization per half-step keeps each score vector summing to 1, so
     a fixed-round run is parity-comparable without a threshold (the
     driver query uses 10 rounds; fixpoints are stable under extra
-    rounds)."""
+    rounds). Small dense-id graphs auto-route to a vectorized numpy
+    tier (same routing bounds, negative-id guard, and opt-out as the
+    components fast path; ``HitsResult.mode`` reports which ran)."""
+    n_fast = _route_fast(edges, vertices, fast_path_edges)
+    if n_fast is not None:
+        return _hits_fast(edges, n_fast, max_iter)
     spark = edges.sparkSession
     num_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")

@@ -25,8 +25,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
+
+from .components import _route_fast
 
 
 @dataclass
@@ -35,6 +39,58 @@ class SsspResult:
     supersteps: int
     converged: bool  # True iff no distance improved before max_rounds
     metrics: list[dict] = field(default_factory=list)
+    mode: str = "dataframe"
+
+
+def _sssp_fast(
+    e_pdf: pd.DataFrame,
+    sources: DataFrame,
+    n: int,
+    max_rounds: int,
+) -> SsspResult | None:
+    """Driver-side vectorized Bellman-Ford: per round, each frontier
+    edge contributes exactly one IEEE add (dist[src] + w) and a per-dst
+    min — the same scalar operations as the distributed relaxation, so
+    distances are bit-identical. Returns None when a source id falls
+    outside the dense [0, n) space (caller falls back)."""
+    s_df = sources.select("id").distinct()
+    s_ids = s_df.toPandas()["id"].to_numpy(dtype=np.int64)
+    if len(s_ids) and (s_ids.min() < 0 or s_ids.max() >= n):
+        return None
+    src = e_pdf["src"].to_numpy(dtype=np.int64)
+    dst = e_pdf["dst"].to_numpy(dtype=np.int64)
+    w = e_pdf["w"].to_numpy(dtype=np.float64)
+    dist = np.full(n, np.inf)
+    dist[s_ids] = 0.0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[s_ids] = True
+    n_frontier = len(s_ids)
+    metrics: list[dict] = [{"superstep": 0, "improved": n_frontier}]
+    steps = 0
+    converged = n_frontier == 0
+    while steps < max_rounds and n_frontier > 0:
+        steps += 1
+        live = frontier[src]
+        cand = np.full(n, np.inf)
+        np.minimum.at(cand, dst[live], dist[src[live]] + w[live])
+        improved = cand < dist
+        n_frontier = int(improved.sum())
+        dist[improved] = cand[improved]
+        frontier = improved
+        metrics.append({"superstep": steps, "improved": n_frontier})
+        if n_frontier == 0:
+            converged = True
+    reached = np.isfinite(dist)
+    spark = sources.sparkSession
+    out = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.flatnonzero(reached).astype(np.int64),
+                "dist": dist[reached],
+            }
+        )
+    )
+    return SsspResult(out, steps, converged, metrics, mode="vectorized")
 
 
 def sssp_distances(
@@ -43,6 +99,7 @@ def sssp_distances(
     weight_col: str | None = None,
     max_rounds: int = 8,
     num_partitions: int | None = None,
+    fast_path_edges: int = 10_000_000,
 ) -> SsspResult:
     """Minimum path weight from the nearest source within ``max_rounds``
     edges, along directed ``edges``.
@@ -53,6 +110,11 @@ def sssp_distances(
     absent from the result. Negative weights are rejected — with a
     bounded round count Bellman-Ford would still be well-defined, but
     no caller of a *shortest-path* API wants silently negative cycles.
+
+    Small dense-id graphs auto-route to a vectorized numpy tier —
+    bit-identical distances (same per-edge add, same per-dst min) —
+    under the same bounds/guard/opt-out as the components fast path
+    (``SsspResult.mode`` reports which ran).
     """
     spark = edges.sparkSession
     num_parts = num_partitions or int(
@@ -63,6 +125,17 @@ def sssp_distances(
         if weight_col is not None
         else F.lit(1.0)
     )
+    n_fast = _route_fast(edges, None, fast_path_edges)
+    if n_fast is not None:
+        e_pdf = edges.select("src", "dst", w.alias("w")).toPandas()
+        if len(e_pdf) and e_pdf["w"].min() < 0:
+            raise ValueError(
+                f"sssp_distances requires non-negative weights "
+                f"(found min={e_pdf['w'].min()})"
+            )
+        fast = _sssp_fast(e_pdf, sources, n_fast, max_rounds)
+        if fast is not None:
+            return fast
     e = edges.select("src", "dst", w.alias("w"))
     e = e.repartition(num_parts, "src").persist(StorageLevel.MEMORY_AND_DISK)
     if weight_col is not None:

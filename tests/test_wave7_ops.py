@@ -220,3 +220,90 @@ def test_condensation_edges(spark):
     assert cond == {(0, 3): 1, (3, 6): 1}
     # acyclic: no pair appears in both directions
     assert all((b, a) not in cond for a, b in cond)
+
+
+def _random_digraph(n=80, m=240, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    return sorted(
+        {(rng.randrange(n), rng.randrange(n)) for _ in range(m)}
+    )
+
+
+def test_hits_fast_tier_parity(spark):
+    from parallel_pagerank_spark.operators.hits import hits
+
+    df = _edges_df(spark, _random_digraph())
+    fast = hits(df, max_iter=10)
+    slow = hits(df, max_iter=10, fast_path_edges=0)
+    assert fast.mode == "vectorized" and slow.mode == "dataframe"
+    f = {r["id"]: (r["hub"], r["authority"]) for r in fast.scores.collect()}
+    s = {r["id"]: (r["hub"], r["authority"]) for r in slow.scores.collect()}
+    assert f.keys() == s.keys()
+    for k in f:
+        assert f[k][0] == pytest.approx(s[k][0], abs=1e-12)
+        assert f[k][1] == pytest.approx(s[k][1], abs=1e-12)
+
+
+def test_bfs_fast_tier_parity(spark):
+    from parallel_pagerank_spark.operators.bfs import bfs_distances
+
+    df = _edges_df(spark, _random_digraph(seed=11))
+    srcs = spark.createDataFrame([(0,), (5,)], ["id"])
+    fast = bfs_distances(df, srcs, max_hops=6)
+    slow = bfs_distances(df, srcs, max_hops=6, fast_path_edges=0)
+    assert fast.mode == "vectorized" and slow.mode == "dataframe"
+    f = {r["id"]: r["dist"] for r in fast.distances.collect()}
+    s = {r["id"]: r["dist"] for r in slow.distances.collect()}
+    assert f == s
+    assert fast.converged == slow.converged
+    assert fast.metrics == slow.metrics
+    # undirected variant too
+    fu = bfs_distances(df, srcs, max_hops=6, directed=False)
+    su = bfs_distances(df, srcs, max_hops=6, directed=False,
+                       fast_path_edges=0)
+    assert {r["id"]: r["dist"] for r in fu.distances.collect()} == {
+        r["id"]: r["dist"] for r in su.distances.collect()
+    }
+
+
+def test_bfs_fast_guard_out_of_range_source(spark):
+    """A source id outside the dense edge-id space must fall back to the
+    distributed loop, not crash numpy indexing."""
+    from parallel_pagerank_spark.operators.bfs import bfs_distances
+
+    df = _edges_df(spark, [(0, 1), (1, 2)])
+    srcs = spark.createDataFrame([(0,), (999,)], ["id"])
+    res = bfs_distances(df, srcs, max_hops=3)
+    assert res.mode == "dataframe"
+    got = {r["id"]: r["dist"] for r in res.distances.collect()}
+    assert got == {0: 0, 999: 0, 1: 1, 2: 2}
+
+
+def test_sssp_fast_tier_parity(spark):
+    from parallel_pagerank_spark.operators.paths import sssp_distances
+    from pyspark.sql import functions as F
+
+    edges = _edges_df(spark, _random_digraph(seed=13))
+    wedges = edges.select(
+        "src",
+        "dst",
+        (F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(5)))
+        .cast("double")
+        .alias("w"),
+    )
+    srcs = spark.createDataFrame([(0,), (3,)], ["id"])
+    fast = sssp_distances(wedges, srcs, weight_col="w", max_rounds=6)
+    slow = sssp_distances(
+        wedges, srcs, weight_col="w", max_rounds=6, fast_path_edges=0
+    )
+    assert fast.mode == "vectorized" and slow.mode == "dataframe"
+    f = {r["id"]: r["dist"] for r in fast.distances.collect()}
+    s = {r["id"]: r["dist"] for r in slow.distances.collect()}
+    assert f == s  # bit-identical doubles
+    assert fast.metrics == slow.metrics
+    # negative weights still rejected on the fast tier
+    neg = wedges.withColumn("w", F.col("w") - F.lit(10.0))
+    with pytest.raises(ValueError):
+        sssp_distances(neg, srcs, weight_col="w", max_rounds=3)
