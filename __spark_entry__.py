@@ -1178,6 +1178,15 @@ def _q_scc_dag(spark, sf_dir):
     return condensation_edges(edges, res.components)
 
 
+def _q_doc_quantiles(spark, sf_dir):
+    """Exact interpolated n_chars quantiles (functions/profile.py
+    column_quantiles): Spark percentile and DuckDB quantile_cont share
+    the linear-interpolation definition — bit-identical doubles."""
+    from parallel_pagerank_spark.functions.profile import column_quantiles
+
+    return column_quantiles(_documents(spark, sf_dir), "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1251,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lift": _q_bigram_lift,
         "scc": _q_scc,
         "scc_dag": _q_scc_dag,
+        "doc_quantiles": _q_doc_quantiles,
     }
 
 
@@ -2385,6 +2395,14 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "dataset_split": _dataset_split_sql(),
         "bigram_lift": _bigram_lift_sql(5),
         "scc": _scc_reach_sql(30),
+        "doc_quantiles": (
+            "SELECT "
+            + ", ".join(
+                f"quantile_cont(n_chars, {p}) AS q{str(p)[2:]}"
+                for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+            )
+            + " FROM documents"
+        ),
         "scc_dag": _scc_reach_sql(
             30,
             wrap_mod=60,

@@ -60,3 +60,23 @@ def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     return wide.select(
         F.explode(F.array(*cols)).alias("p")
     ).select("p.*")
+
+
+def column_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated quantiles of a numeric column, one row with a
+    ``qXX`` double column per probability. Spark's exact ``percentile``
+    and DuckDB's ``quantile_cont`` share the linear-interpolation
+    definition, so results are bit-identical and the driver oracle
+    hash-matches. Exact percentile sorts within each aggregation buffer;
+    at the 100 TB scale prefer ``approx_percentile`` (KLL-sketch-style
+    mergeable summaries, no global sort) — exact quantiles are the
+    profiler/validation tier."""
+    aggs = [
+        F.percentile(col, F.lit(p)).alias(f"q{str(p)[2:]}")
+        for p in probabilities
+    ]
+    return df.agg(*aggs)

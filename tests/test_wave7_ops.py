@@ -307,3 +307,12 @@ def test_sssp_fast_tier_parity(spark):
     neg = wedges.withColumn("w", F.col("w") - F.lit(10.0))
     with pytest.raises(ValueError):
         sssp_distances(neg, srcs, weight_col="w", max_rounds=3)
+
+
+def test_column_quantiles(spark):
+    from parallel_pagerank_spark.functions.profile import column_quantiles
+
+    df = spark.createDataFrame([(0,), (10,), (20,), (30,)], ["x"])
+    row = column_quantiles(df, "x", probabilities=(0.25, 0.5)).first()
+    assert row["q25"] == pytest.approx(7.5)
+    assert row["q5"] == pytest.approx(15.0)
