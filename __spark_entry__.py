@@ -1187,6 +1187,16 @@ def _q_doc_quantiles(spark, sf_dir):
     return column_quantiles(_documents(spark, sf_dir), "n_chars")
 
 
+def _q_pseudo_diameter(spark, sf_dir):
+    """Bounded double-sweep diameter lower bound (operators/bfs.py
+    pseudo_diameter): BFS from min(src), re-BFS from the farthest vertex
+    (ties -> min id). Oracle = the same two sweeps unrolled."""
+    from parallel_pagerank_spark.operators.bfs import pseudo_diameter
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return pseudo_diameter(event_graph_edges(_events(spark, sf_dir)), max_hops=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1261,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": _q_scc,
         "scc_dag": _q_scc_dag,
         "doc_quantiles": _q_doc_quantiles,
+        "pseudo_diameter": _q_pseudo_diameter,
     }
 
 
@@ -2395,6 +2406,7 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "dataset_split": _dataset_split_sql(),
         "bigram_lift": _bigram_lift_sql(5),
         "scc": _scc_reach_sql(30),
+        "pseudo_diameter": _pseudo_diameter_sql(6),
         "doc_quantiles": (
             "SELECT "
             + ", ".join(
@@ -2517,4 +2529,37 @@ labeling AS (
   FROM verts v LEFT JOIN mutual mu ON mu.v = v.id
   GROUP BY v.id)
 {final}
+"""
+
+
+def _pseudo_diameter_sql(rounds: int) -> str:
+    """Unrolled bounded double-sweep BFS mirroring
+    operators/bfs.pseudo_diameter: sweep A from min(src), pick the
+    farthest settled vertex (dist DESC, id ASC), sweep B from it."""
+
+    def sweep(tag: str, start_cte: str) -> str:
+        parts = [f"""
+{tag}s0 AS MATERIALIZED (SELECT id, 0::BIGINT AS dist FROM {start_cte}),
+{tag}f0 AS (SELECT id FROM {tag}s0)"""]
+        for k in range(1, rounds + 1):
+            parts.append(f""",
+{tag}c{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+         FROM edges e JOIN {tag}f{k - 1} f ON f.id = e.src),
+{tag}f{k} AS MATERIALIZED (SELECT c.id FROM {tag}c{k} c
+         LEFT JOIN {tag}s{k - 1} s ON s.id = c.id WHERE s.id IS NULL),
+{tag}s{k} AS MATERIALIZED (SELECT id, dist FROM {tag}s{k - 1}
+         UNION ALL SELECT id, {k}::BIGINT AS dist FROM {tag}f{k})"""
+            )
+        return "".join(parts)
+
+    return f"""WITH {_EDGES_MAT_CTE},
+src0 AS MATERIALIZED (SELECT min(src) AS id FROM edges),{sweep("a_", "src0")},
+far AS MATERIALIZED (SELECT id, dist FROM a_s{rounds}
+      ORDER BY dist DESC, id ASC LIMIT 1),{sweep("b_", "far")}
+SELECT (SELECT id FROM src0) AS source_id,
+       (SELECT id FROM far) AS far_id,
+       (SELECT dist FROM far) AS far_dist,
+       max(dist) AS diameter_lb,
+       count(*) AS n_reached
+FROM b_s{rounds}
 """

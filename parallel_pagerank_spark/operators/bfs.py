@@ -270,3 +270,49 @@ def harmonic_centrality(res: LandmarkResult) -> DataFrame:
             F.count("*").alias("n_reached"),
         )
     )
+
+
+def pseudo_diameter(
+    edges: DataFrame,
+    max_hops: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Bounded double-sweep diameter lower bound (the classic
+    pseudo-diameter heuristic, e.g. Magnien/Latapy/Habib 2009): BFS from
+    the minimum source vertex, re-BFS from the farthest vertex found
+    (ties broken by min id), report that sweep's eccentricity-within-
+    budget. Returns ONE row:
+    (source_id, far_id, far_dist, diameter_lb, n_reached).
+
+    Both sweeps are bounded by ``max_hops``, so the result is a lower
+    bound within the hop budget — the honest contract at 100 TB, where
+    an unbounded sweep on a path-shaped component would be O(diameter)
+    barriers. Driver-side state is two 1-row lookups (the sweep
+    sources); the sweeps themselves are frontier BFS supersteps (or the
+    vectorized tier on small graphs)."""
+    spark = edges.sparkSession
+    start = edges.agg(F.min("src").alias("m")).first()["m"]
+    if start is None:
+        return spark.createDataFrame(
+            [],
+            "source_id long, far_id long, far_dist long, "
+            "diameter_lb long, n_reached long",
+        )
+    s1 = spark.createDataFrame([(int(start),)], "id long")
+    b1 = bfs_distances(
+        edges, s1, max_hops=max_hops, num_partitions=num_partitions
+    )
+    far = (
+        b1.distances.orderBy(F.desc("dist"), F.asc("id")).limit(1).first()
+    )
+    s2 = spark.createDataFrame([(int(far["id"]),)], "id long")
+    b2 = bfs_distances(
+        edges, s2, max_hops=max_hops, num_partitions=num_partitions
+    )
+    return b2.distances.agg(
+        F.lit(int(start)).cast("long").alias("source_id"),
+        F.lit(int(far["id"])).cast("long").alias("far_id"),
+        F.lit(int(far["dist"])).cast("long").alias("far_dist"),
+        F.max("dist").alias("diameter_lb"),
+        F.count("*").alias("n_reached"),
+    )

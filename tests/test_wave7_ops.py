@@ -316,3 +316,21 @@ def test_column_quantiles(spark):
     row = column_quantiles(df, "x", probabilities=(0.25, 0.5)).first()
     assert row["q25"] == pytest.approx(7.5)
     assert row["q5"] == pytest.approx(15.0)
+
+
+def test_pseudo_diameter(spark):
+    from parallel_pagerank_spark.operators.bfs import pseudo_diameter
+
+    ring = _edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    row = pseudo_diameter(ring, max_hops=6).first()
+    assert (
+        row["source_id"],
+        row["far_id"],
+        row["far_dist"],
+        row["diameter_lb"],
+        row["n_reached"],
+    ) == (0, 3, 3, 3, 4)
+    # bounded: budget smaller than the true eccentricity is reported
+    # honestly as a lower bound
+    row2 = pseudo_diameter(ring, max_hops=2).first()
+    assert row2["diameter_lb"] == 2
