@@ -334,3 +334,47 @@ def test_pseudo_diameter(spark):
     # honestly as a lower bound
     row2 = pseudo_diameter(ring, max_hops=2).first()
     assert row2["diameter_lb"] == 2
+
+
+def test_assign_split_and_quality_on_stream(spark, tmp_path):
+    """The stateless corpus operators (split assignment, quality score)
+    are pure Column expressions, so the same call works unchanged on a
+    Structured Streaming source and agrees with the batch result."""
+    from parallel_pagerank_spark.functions.splits import assign_split
+    from parallel_pagerank_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    in_dir = str(tmp_path / "docs_in")
+    docs.coalesce(2).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        in_dir
+    )
+    out_stream = assign_split(stream, id_col="doc_id").select(
+        "doc_id", "split", quality_score("text").alias("quality")
+    )
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "docs_ck")
+    q = (
+        out_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["split"], r["quality"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["split"], r["quality"])
+        for r in assign_split(docs, id_col="doc_id")
+        .select("doc_id", "split", quality_score("text").alias("quality"))
+        .collect()
+    }
+    assert got == want and len(got) == 50
