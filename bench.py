@@ -198,12 +198,22 @@ def child_headline() -> None:
         "triangle_count",
         lambda: triangle_count(cooccurrence_edges(events, 2)),
     )
-    q("text_analysis", lambda: analyze_documents(docs).count())
+    # Projection-only queries must be consumed through a full-row checksum:
+    # a bare count() lets Catalyst prune every computed column and times
+    # nothing but the parquet scan (rounds 1-2 under-reported these two —
+    # see BENCH/BASELINE.md methodology note).
+    def _checksum(df):
+        # bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+        return df.select(
+            F.xxhash64(F.struct("*")).alias("h")
+        ).agg(F.bit_xor("h")).collect()
+
+    q("text_analysis", lambda: _checksum(analyze_documents(docs)))
     q(
         "minhash_lsh",
         lambda: minhash_lsh_candidates(docs).count(),
     )
-    q("simhash", lambda: simhash(docs).count())
+    q("simhash", lambda: _checksum(simhash(docs)))
     q(
         "knn_bruteforce",
         lambda: cosine_topk_bruteforce(

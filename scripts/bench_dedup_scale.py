@@ -104,7 +104,13 @@ def main() -> None:
     out["minhash_docs_per_sec"] = round(n_docs / out["minhash_lsh_sec"], 1)
 
     t0 = time.monotonic()
-    simhash(docs).count()
+    # full-row checksum: a bare count() would let Catalyst prune the
+    # simhash column and time only the synthetic-text generation
+    from pyspark.sql import functions as F
+
+    simhash(docs).select(
+        F.xxhash64(F.struct("*")).alias("h")
+    ).agg(F.bit_xor("h")).collect()
     out["simhash_sec"] = round(time.monotonic() - t0, 3)
     out["simhash_docs_per_sec"] = round(n_docs / out["simhash_sec"], 1)
     docs.unpersist()

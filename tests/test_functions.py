@@ -145,6 +145,43 @@ def test_minhash_est_jaccard_close(spark, documents):
             assert r["est_jaccard"] == 1.0
 
 
+def test_minhash_oph_estimates_and_densification(spark):
+    """The OPH scale path (one hash per shingle + rotation densification)
+    estimates Jaccard within statistical tolerance, gives exact copies
+    est 1.0, and does NOT produce empty-vs-empty band collisions between
+    unrelated short docs (the densification failure mode)."""
+    base = (
+        "large scale training data pipelines deduplicate documents with "
+        "minhash signatures banded into buckets for locality sensitive "
+        "hashing so that candidate pairs never go quadratic in corpus size"
+    )
+    near = base.replace("documents", "records").replace("corpus", "input")
+    rows = [
+        (1, base),
+        (2, near),
+        (3, base),  # exact copy of 1
+        # short docs: ~25 of 64 bins populated → heavy densification
+        (4, "alpha beta gamma delta"),
+        (5, "zulu yankee xray whiskey"),
+        (6, "alpha beta gamma delta"),  # exact copy of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(df, impl="oph").collect()
+    }
+    assert cands[(1, 3)] == 1.0
+    assert cands[(4, 6)] == 1.0
+    # near-dup found, estimate within loose statistical tolerance of the
+    # exact 5-gram jaccard (k=64 → sd ~ 0.06; densified bins add a bit)
+    exact = _jaccard(base, near)
+    assert (1, 2) in cands
+    assert abs(cands[(1, 2)] - exact) < 0.25
+    # unrelated short docs must not collide via shared-empty bands
+    for p in [(4, 5), (5, 6)]:
+        assert p not in cands
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [
@@ -440,6 +477,20 @@ def test_multimodal_unsupported_codec_raises(spark):
     media = synthetic_media(spark, n_rows=6, real_payloads=False)
     with pytest.raises(Exception, match="not a BMP|NotImplemented|codec"):
         image_features(media, decoder="real").collect()
+
+
+def test_calibrated_nbits():
+    """Hash width scales with corpus size (expected bucket <= ~2), never
+    drops below the caller's floor, and caps at srp's 32-bit-safe bound."""
+    from parallel_pagerank_spark.functions.dedup import calibrated_nbits
+
+    assert calibrated_nbits(0, 12) == 12  # empty / tiny: floor wins
+    assert calibrated_nbits(60, 8) == 8  # small corpus: floor wins
+    assert calibrated_nbits(2_000, 12) == 12  # sf0.01 tier: unchanged
+    assert calibrated_nbits(1_000_000, 12) == 19  # 10^6: widened
+    assert calibrated_nbits(10**12, 12) == 30  # capped
+    for n in (10, 10**3, 10**6, 10**9):
+        assert n / 2 ** calibrated_nbits(n, 0) <= 2.0
 
 
 def test_embedding_near_dups(spark):
