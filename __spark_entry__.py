@@ -1197,6 +1197,137 @@ def _q_pseudo_diameter(spark, sf_dir):
     return pseudo_diameter(event_graph_edges(_events(spark, sf_dir)), max_hops=6)
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum corpus sampling (functions/splits.py
+    stratified_sample): keep-set is a pure function of (doc_id, salt)
+    via the portable multiplicative hash, so the oracle reproduces it
+    bit-exactly; strata missing from the rate map (fr/es) fail closed."""
+    from parallel_pagerank_spark.functions.splits import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf_dir), "lang", _SAMPLE_RATES
+    ).select("doc_id", "lang")
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Train/eval n-gram decontamination (functions/decontam.py): split
+    the corpus with the portable-hash assign_split, then report every
+    train doc sharing a word 4-gram with any test doc. key='text' is
+    the SQL-portable tier the oracle checks; key='hash64' is the
+    fixed-width-shuffle scale tier (pytest-verified identical)."""
+    from parallel_pagerank_spark.functions.decontam import (
+        ngram_contamination,
+    )
+    from parallel_pagerank_spark.functions.splits import assign_split
+
+    docs = assign_split(_documents(spark, sf_dir))
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return ngram_contamination(train, test, n=4, key="text")
+
+
+def _q_doc_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (functions/text.py
+    token_entropy). Integer token counts are hash-exact; the two float
+    columns are rounded to 6 (single ln-sum per doc — same tolerance
+    discipline as doc_tfidf)."""
+    from parallel_pagerank_spark.functions.text import token_entropy
+
+    out = token_entropy(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("entropy_ratio", 6).alias("entropy_ratio"),
+    )
+
+
+def _q_topo_levels(spark, sf_dir):
+    """Bounded topological levels (operators/scc.py topological_levels)
+    on the forward-edge DAG (src < dst on event ids — acyclic by
+    construction) of the user_id % 30 subgraph. k bounded rounds of
+    monotone max-relaxation compute exactly min(longest-path-depth, k)
+    per vertex — the saturated dependency depth, the same bounded-query
+    contract as bfs_distance/sssp_bounded. Oracle = k unrolled
+    full-relaxation rounds (integer-exact)."""
+    from parallel_pagerank_spark.operators.scc import topological_levels
+    from parallel_pagerank_spark.sources.events import (
+        handoff_edges,
+        reply_edges,
+    )
+
+    ev = _events(spark, sf_dir).filter((F.col("user_id") % 30) == 0)
+    e = (
+        reply_edges(ev)
+        .unionByName(handoff_edges(ev))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    res = topological_levels(e, src_col="src", dst_col="dst", max_iter=10)
+    return res.levels
+
+
+def _q_subgraph_sample(spark, sf_dir):
+    """Deterministic vertex-induced subgraph sample (operators/graph.py
+    sample_subgraph): keep a vertex iff portable-bucket < 0.3·2^32, an
+    edge iff both endpoints kept. Multi-edges of the reply∪handoff
+    graph are preserved (multiset compare). Pure predicate — the oracle
+    is the same WHERE clause."""
+    from parallel_pagerank_spark.operators.graph import sample_subgraph
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return sample_subgraph(
+        event_graph_edges(_events(spark, sf_dir)), 0.3
+    )
+
+
+def _q_quality_filter(spark, sf_dir):
+    """Per-language quality-percentile cutoff (functions/profile.py
+    percentile_filter, exact window tier): drop the bottom quartile per
+    lang by quality_score, ties broken by doc_id. pct is the exact
+    rational (rank−1)/(n−1) — IEEE-identical across engines given the
+    already-oracle-matched quality values."""
+    from parallel_pagerank_spark.functions.profile import percentile_filter
+    from parallel_pagerank_spark.functions.text import quality_score
+
+    docs = _documents(spark, sf_dir)
+    out = percentile_filter(
+        docs, quality_score("text"), "lang", 0.25, id_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", F.col("score").alias("quality"), "pct"
+    )
+
+
+def _q_windowed_counts(spark, sf_dir):
+    """Tumbling 1-hour event counts — the batch twin of
+    streaming/windows.windowed_event_counts (same function; the
+    watermark is a no-op in batch). Window bounds exported as exact
+    epoch microseconds; the oracle reproduces the epoch-aligned bucket
+    with integer arithmetic."""
+    from parallel_pagerank_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    out = windowed_event_counts(
+        _events(spark, sf_dir), "1 hour", "1 hour"
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start").cast("timestamp")).alias(
+            "window_start_us"
+        ),
+        F.unix_micros(F.col("window_end").cast("timestamp")).alias(
+            "window_end_us"
+        ),
+        "event_type",
+        "n_events",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1272,6 +1403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_dag": _q_scc_dag,
         "doc_quantiles": _q_doc_quantiles,
         "pseudo_diameter": _q_pseudo_diameter,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "doc_entropy": _q_doc_entropy,
+        "topo_levels": _q_topo_levels,
+        "subgraph_sample": _q_subgraph_sample,
+        "quality_filter": _q_quality_filter,
+        "windowed_counts": _q_windowed_counts,
     }
 
 
@@ -2427,7 +2565,171 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
                 "WHERE a.scc <> b.scc GROUP BY a.scc, b.scc"
             ),
         ),
+        "stratified_sample": _stratified_sample_sql(),
+        "decontaminate": _decontaminate_sql(4),
+        "doc_entropy": _doc_entropy_sql(),
+        "topo_levels": _topo_levels_sql(30, 10),
+        "subgraph_sample": _subgraph_sample_sql(0.3),
+        "quality_filter": _quality_filter_sql(0.25),
+        "windowed_counts": _windowed_counts_sql(3_600_000_000),
     }
+
+
+def _stratified_sample_sql() -> str:
+    # predicate generated by the SAME helper the engine uses (the
+    # dataset_split discipline: bucket arithmetic cannot drift apart)
+    from parallel_pagerank_spark.functions.splits import (
+        stratified_sample_sql,
+    )
+
+    pred = stratified_sample_sql("doc_id", "lang", _SAMPLE_RATES)
+    return f"SELECT doc_id, lang FROM documents WHERE {pred}"
+
+
+def _decontaminate_sql(n: int) -> str:
+    """Mirror of functions/decontam.ngram_contamination over the
+    portable-hash split: word n-grams via lead(w, k) (n fixed, so the
+    unrolled-lead form replaces Spark's transform/slice — same set),
+    distinct per doc, train ⋈ test on the gram string."""
+    from parallel_pagerank_spark.functions.splits import split_case_sql
+
+    leads = ", ".join(
+        f"lead(w, {k}) OVER (PARTITION BY doc_id ORDER BY pos) AS w{k}"
+        for k in range(1, n)
+    )
+    gram = " || ' ' || ".join(["w"] + [f"w{k}" for k in range(1, n)])
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, {split_case_sql('doc_id')} AS split,
+         {_NORM_TEXT_SQL} AS norm
+  FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id, split, pos, w FROM (
+    SELECT doc_id, split,
+           generate_subscripts(string_split(norm, ' '), 1) AS pos,
+           unnest(string_split(norm, ' ')) AS w
+    FROM s)
+  WHERE w <> ''),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, split, {gram} AS gram FROM (
+    SELECT doc_id, split, w, {leads} FROM toks)
+  WHERE w{n - 1} IS NOT NULL)
+SELECT t.doc_id,
+       count(DISTINCT t.gram) AS n_shared,
+       count(DISTINCT e.doc_id) AS n_test_docs,
+       min(e.doc_id) AS first_test_doc
+FROM (SELECT * FROM grams WHERE split = 'train') t
+JOIN (SELECT * FROM grams WHERE split = 'test') e ON t.gram = e.gram
+GROUP BY t.doc_id
+"""
+
+
+def _doc_entropy_sql() -> str:
+    # H = ln(T) - (Σ c·ln c)/T per doc; CASE guards mirror
+    # functions/text.token_entropy's when() branches exactly
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS w
+    FROM documents)
+  WHERE w <> ''),
+cnt AS MATERIALIZED (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+agg AS (
+  SELECT doc_id, sum(c) AS t, count(*) AS nd,
+         sum(c::DOUBLE * ln(c::DOUBLE)) AS sc
+  FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.t, 0) AS n_tokens,
+       coalesce(a.nd, 0) AS n_distinct,
+       round(CASE WHEN a.t > 0 THEN ln(a.t::DOUBLE) - a.sc / a.t::DOUBLE
+                  ELSE 0.0 END, 6) AS entropy,
+       round(CASE WHEN a.nd > 1
+                  THEN (ln(a.t::DOUBLE) - a.sc / a.t::DOUBLE)
+                       / ln(a.nd::DOUBLE)
+                  ELSE 0.0 END, 6) AS entropy_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _topo_levels_sql(user_mod: int, rounds: int) -> str:
+    """Unrolled bounded max-relaxation mirroring
+    operators/scc.topological_levels on the forward-edge (src < dst,
+    hence acyclic) DAG: l_k(v) = min(longest-path depth, k), reached by
+    k full-relaxation rounds (the engine's changed-delta frontier
+    computes the identical sequence — deltas only skip stale-equal
+    pushes). All-integer, hash-exact."""
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE user_id % {user_mod} = 0),
+reply AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+handoff AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+  WHERE src < dst),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+l0 AS MATERIALIZED (SELECT id, 0::BIGINT AS level FROM nodes)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT p.id, greatest(p.level, coalesce(mx.m, 0)) AS level
+  FROM l{k - 1} p LEFT JOIN (
+    SELECT e.dst AS id, max(q.level) + 1 AS m
+    FROM edges e JOIN l{k - 1} q ON q.id = e.src GROUP BY e.dst) mx
+  ON mx.id = p.id)""")
+    parts.append(f"\nSELECT id, level FROM l{rounds}")
+    return "".join(parts)
+
+
+def _subgraph_sample_sql(frac: float) -> str:
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    bound = int(frac * 4_294_967_296)
+    return f"""
+WITH {_EDGES_MAT_CTE}
+SELECT src, dst FROM edges
+WHERE ({split_bucket_sql('src')}) < {bound}
+  AND ({split_bucket_sql('dst')}) < {bound}
+"""
+
+
+def _quality_filter_sql(min_pct: float) -> str:
+    # percent_rank over (quality, doc_id) — total order, engine-portable
+    return f"""
+WITH q AS MATERIALIZED ({_quality_score_sql()}),
+r AS (
+  SELECT d.doc_id, d.lang, q.quality,
+         percent_rank() OVER (
+           PARTITION BY d.lang ORDER BY q.quality, d.doc_id) AS pct
+  FROM documents d JOIN q USING (doc_id))
+SELECT doc_id, lang, quality, pct FROM r WHERE pct >= {min_pct}
+"""
+
+
+def _windowed_counts_sql(width_us: int) -> str:
+    # epoch-aligned tumbling bucket via integer division (Spark's
+    # F.window aligns to the epoch for offset-free durations)
+    start = f"(epoch_us(ts) // {width_us}) * {width_us}"
+    return f"""
+SELECT {start} AS window_start_us,
+       {start} + {width_us} AS window_end_us,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
 
 
 def _dataset_split_sql() -> str:

@@ -1,0 +1,100 @@
+"""Train/eval n-gram decontamination for corpus pipelines.
+
+No reference counterpart (the reference is a numeric PageRank engine —
+see SURVEY.md §2); this is the standard published benchmark-leakage
+check a training-data pipeline runs before every release: flag any
+training document that shares at least one word n-gram with any
+evaluation document, so eval-set text cannot leak into the training mix
+(the n-gram-overlap decontamination procedure described in the GPT-3,
+PaLM, and Llama papers; production filters use n = 8..13 — tests here
+use smaller n because fixture docs are short).
+
+Scale shape (the part that matters at 100 TB):
+
+- each side is reduced to its DISTINCT per-doc n-gram set JVM-side
+  (``split`` → ``transform(sequence(...))`` higher-order functions —
+  no explode until after the per-doc dedup, no Python),
+- the only shuffle is the equi-join on the n-gram key; with
+  ``key="hash64"`` the key is a 64-bit ``xxhash64`` so shuffle rows are
+  fixed-width instead of carrying full n-gram strings (the same
+  fingerprint-not-text rule as ``functions/dedup.exact_dedup``),
+- the train side is typically 10^4× the eval side, so the grams of the
+  EVAL side are broadcast when small enough — Catalyst/AQE picks this
+  up from statistics; the join is written eval-last to keep that form.
+
+``key="text"`` joins on the raw n-gram string — bit-portable to any SQL
+engine, which is what the driver's DuckDB oracle checks; ``"hash64"``
+is the fixed-width scale tier (identical output short of an xxhash64
+collision between distinct n-grams, ~2^-64 per pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import normalized_text
+
+
+def ngram_set(text_col: Column, n: int) -> Column:
+    """DISTINCT word n-grams of the normalized text, as an array column.
+
+    Tokens are the engine-wide whitespace normalization's words; a doc
+    with fewer than ``n`` tokens has an empty set. Pure higher-order
+    Column expressions (whole-stage codegen, no shuffle, no Python).
+    """
+    toks = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: w != F.lit("")
+    )
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(m >= F.lit(n), F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "text",
+) -> DataFrame:
+    """Training docs sharing ≥1 word n-gram with any evaluation doc.
+
+    Returns one row per CONTAMINATED training document:
+    ``(doc_id, n_shared, n_test_docs, first_test_doc)`` where
+    ``n_shared`` counts distinct leaked n-grams, ``n_test_docs`` counts
+    distinct eval docs hit, and ``first_test_doc`` (min eval id) gives
+    a reproducible example for auditing. Training docs with no overlap
+    are absent (the common case — anti-join them against this output to
+    get the clean set).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if key not in ("text", "hash64"):
+        raise ValueError(f"key must be 'text' or 'hash64', got {key!r}")
+
+    def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        g = df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(ngram_set(F.col(text_col), n)).alias("gram"),
+        )
+        if key == "hash64":
+            g = g.select(out_id, F.xxhash64("gram").alias("gram"))
+        return g
+
+    tr = grams_of(train, "doc_id")
+    te = grams_of(test, "test_doc")
+    return (
+        tr.join(te, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+            F.min("test_doc").alias("first_test_doc"),
+        )
+    )

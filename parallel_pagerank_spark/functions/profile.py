@@ -80,3 +80,62 @@ def column_quantiles(
         for p in probabilities
     ]
     return df.agg(*aggs)
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col,
+    strata_col: str,
+    min_percentile: float,
+    id_col: str = "doc_id",
+    approx: bool = False,
+) -> DataFrame:
+    """Keep rows at or above a per-stratum score percentile — the
+    standard quality-cutoff stage of a corpus pipeline ("drop the
+    bottom quartile per language" — cutoffs computed within each
+    stratum so a low-resource language is not wiped out by a
+    high-resource one's score distribution).
+
+    ``score_col`` may be a column name or a Column expression (e.g.
+    ``text.quality_score("text")``). Adds a ``pct`` column
+    (``percent_rank`` ∈ [0, 1], ties broken by ``id_col`` so the rank
+    is total and engine-portable) and keeps rows with
+    ``pct >= min_percentile``. A singleton stratum has pct 0 —
+    kept only when min_percentile is 0.
+
+    Two tiers:
+
+    - exact (default): one window sort per stratum. The shuffle is
+      keyed on the stratum alone, so a giant stratum serializes into
+      one task — correct, and what the driver's DuckDB oracle mirrors,
+      but a sort of the full 100 TB stratum.
+    - ``approx=True``: the scale path — per-stratum cutoff from
+      ``approx_percentile`` (one aggregation), broadcast back and
+      filtered. Two scans, no total sort, no skew hazard; membership
+      near the cutoff can differ from exact by the sketch's rank error
+      (no ``pct`` column is produced).
+    """
+    if not 0.0 <= min_percentile <= 1.0:
+        raise ValueError(
+            f"min_percentile must be in [0, 1], got {min_percentile}"
+        )
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    scored = df.withColumn("__score", score)
+    if approx:
+        cuts = scored.groupBy(strata_col).agg(
+            F.percentile_approx("__score", min_percentile).alias("__cut")
+        )
+        return (
+            scored.join(F.broadcast(cuts), strata_col)
+            .filter(F.col("__score") >= F.col("__cut"))
+            .drop("__cut")
+            .withColumnRenamed("__score", "score")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy("__score", id_col)
+    return (
+        scored.withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") >= F.lit(min_percentile))
+        .withColumnRenamed("__score", "score")
+    )

@@ -100,3 +100,59 @@ def split_case_sql(
     return (
         "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: int = 0,
+    method: str = "portable",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (quality-tiered corpus mix).
+
+    Keeps a row iff its :func:`split_bucket` falls below ``rate * 2^32``
+    for the rate of its stratum — the standard reproducible alternative
+    to ``df.sampleBy`` (whose Bernoulli draw depends on partitioning and
+    seed plumbing): membership here is a pure function of (id, salt), so
+    the same row set is produced on any cluster, engine version, or
+    re-partitioning, and growing a stratum's rate only ever ADDS rows
+    (monotone, like :func:`assign_split`'s ranges). Pure Column
+    arithmetic — no shuffle, no Python; the filter pushes down to the
+    scan. A 100 TB corpus mix (e.g. upsample-by-dedup-tier, downsample
+    boilerplate) is one scan at full parallelism.
+
+    Rows whose stratum is missing from ``rates`` use ``default_rate``
+    (0.0 = dropped), so an unexpected new stratum fails CLOSED rather
+    than flooding the sample.
+    """
+    for name, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {rate}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    bucket = split_bucket(F.col(id_col), salt=salt, method=method)
+    bound: Column = F.lit(int(default_rate * _M))
+    for name, rate in rates.items():
+        bound = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(int(rate * _M))
+        ).otherwise(bound)
+    return df.filter(bucket < bound)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    strata_expr: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> str:
+    """WHERE-clause predicate mirroring :func:`stratified_sample`."""
+    bucket = split_bucket_sql(id_expr, salt=salt)
+    arms = " ".join(
+        f"WHEN {strata_expr} = '{name}' THEN {int(rate * _M)}"
+        for name, rate in rates.items()
+    )
+    return f"({bucket}) < (CASE {arms} ELSE {int(default_rate * _M)} END)"

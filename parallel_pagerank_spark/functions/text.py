@@ -415,3 +415,54 @@ def bigram_lift(
             ).alias("lift"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram Shannon entropy — the information-density
+    quality signal complementing repetition_signals: low-entropy docs
+    are keyword-stuffed / template / repeated-token text, high-entropy
+    docs have diverse vocabulary.
+
+        H = ln(T) - (Σ_w c_w·ln(c_w)) / T      (nats; T = token count)
+
+    computed in that rearranged form so the per-token work is one
+    c·ln(c) term over the (doc, word) count table — the Σ is a plain
+    hash aggregation keyed by doc_id. Returns
+    (doc_id, n_tokens, n_distinct, entropy, entropy_ratio) where
+    entropy_ratio = H / ln(n_distinct) ∈ [0, 1] (1 = all tokens
+    distinct or uniform; 0 for single-token docs by convention).
+
+    Scale shape: tokens explode out of the array JVM-side; both
+    aggregations are keyed by doc_id (+word), so corpus-hot words can
+    never skew a shuffle partition — the same doc-keyed rule as
+    repetition_signals. Docs with no tokens yield n_tokens = 0 and
+    entropy 0.
+    """
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda x: x != F.lit(""),
+    )
+    counts = (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+        .select("doc_id", F.explode_outer("w").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("w").alias("c"))
+    )
+    t = F.sum("c")
+    sum_clnc = F.sum(F.col("c").cast("double") * F.log(F.col("c")))
+    h = F.when(
+        t > 0, F.log(t.cast("double")) - sum_clnc / t.cast("double")
+    ).otherwise(F.lit(0.0))
+    nd = F.count(F.col("w"))  # null w (empty doc) not counted
+    return counts.groupBy("doc_id").agg(
+        F.coalesce(t, F.lit(0)).alias("n_tokens"),
+        nd.alias("n_distinct"),
+        h.alias("entropy"),
+        F.when(nd > 1, h / F.log(nd.cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_ratio"),
+    )

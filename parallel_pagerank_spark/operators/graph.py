@@ -89,3 +89,35 @@ def canonical_edges(edges: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def sample_subgraph(
+    edges: DataFrame, frac: float, salt: int = 0
+) -> DataFrame:
+    """Vertex-induced deterministic subgraph sample.
+
+    Keeps a vertex iff its portable split-hash bucket falls below
+    ``frac * 2^32`` (functions/splits.split_bucket — bit-identical in
+    Spark/DuckDB/numpy), and an edge iff BOTH endpoints are kept —
+    vertex-induced sampling, the standard way to downscale a graph
+    while preserving within-sample structure (every kept vertex keeps
+    its full induced neighborhood, so degree/triangle/component
+    statistics of the sample are unbiased conditional on the vertex
+    set; plain edge sampling would thin every neighborhood instead).
+    Expected edge retention is frac² for independent endpoints.
+
+    Pure Column predicate — no shuffle, no join against a sampled
+    vertex table, pushes down to the scan; monotone in ``frac`` (a
+    bigger sample is a superset); ``salt`` re-deals the sample. The
+    100 TB use case: iterate an algorithm change on a 1% induced slice
+    with exactly reproducible membership, then remove the filter.
+    """
+    from ..functions.splits import split_bucket
+
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    bound = F.lit(int(frac * 4_294_967_296))
+    return edges.filter(
+        (split_bucket(F.col("src"), salt=salt) < bound)
+        & (split_bucket(F.col("dst"), salt=salt) < bound)
+    )

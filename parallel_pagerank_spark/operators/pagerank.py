@@ -147,6 +147,7 @@ def pagerank(
     resume: bool = False,
     teleport: DataFrame | None = None,
     weight_col: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank over ``edges(src, dst)``.
 
@@ -165,6 +166,15 @@ def pagerank(
     pagerank_mpi.c:51) but never uses it after init — this implements the
     declared intent; ``teleport=None`` is the reference's uniform v=1/N
     behavior. Vertices absent from ``teleport`` get weight 0.
+    init_ranks: optional ``(id, rank)`` DataFrame to WARM-START from —
+    e.g. the previous snapshot's converged ranks after an incremental
+    edge batch. The vector is L1-normalized to 1 (power iteration is
+    mass-conserving, so any positive total is a valid start); vertices
+    absent from it start at 0 and regain mass through teleport. The
+    fixpoint is start-independent (the chain is ergodic for d < 1), so
+    a warm start changes ONLY the iteration count — on slowly-drifting
+    graphs typically a handful of supersteps instead of ~57, which at
+    100 TB is the difference between minutes and an hour.
     """
     cfg = config or PageRankConfig()
     spark = edges.sparkSession
@@ -192,6 +202,7 @@ def pagerank(
         and 0 < n <= cfg.fast_path_threshold
         and teleport is None
         and weight_col is None
+        and init_ranks is None
         and not resume
         and cfg.checkpoint_dir is None
         and cfg.salt_buckets == 0
@@ -260,12 +271,23 @@ def pagerank(
             base = vertices.select(
                 "id", F.lit(1.0 / n).alias("tele")
             )
+        if init_ranks is not None:
+            total_r = init_ranks.agg(F.sum("rank").alias("s")).first()["s"]
+            if not total_r or total_r <= 0:
+                raise ValueError("init_ranks must sum to > 0")
+            warm = init_ranks.select(
+                "id", (F.col("rank") / F.lit(float(total_r))).alias("warm")
+            )
+            base = base.join(warm, "id", "left")
+            init_col = F.coalesce("warm", F.lit(0.0)).alias("rank")
+        else:
+            init_col = F.col("tele").alias("rank")  # init p = v (uniform:
+            # 1/N, pagerank_mpi.c:44-54)
         ranks = (
             base.join(deg, on="id", how="left")
             .select(
                 "id",
-                F.col("tele").alias("rank"),  # init p = v (uniform: 1/N,
-                # pagerank_mpi.c:44-54)
+                init_col,
                 F.col("tele"),
                 F.col("out_deg").isNull().alias("dangling"),
             )

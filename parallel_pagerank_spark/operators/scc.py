@@ -278,3 +278,101 @@ def condensation_edges(edges: DataFrame, scc: DataFrame) -> DataFrame:
         .groupBy("src_scc", "dst_scc")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+@dataclass
+class TopoLevelsResult:
+    levels: DataFrame  # (id: long, level: long) — longest-path depth
+    rounds: int
+    converged: bool  # False means a cycle (or depth > max_iter)
+    metrics: list[dict] = field(default_factory=list)
+
+
+def topological_levels(
+    dag_edges: DataFrame,
+    src_col: str = "src_scc",
+    dst_col: str = "dst_scc",
+    max_iter: int = 64,
+    num_partitions: int | None = None,
+) -> TopoLevelsResult:
+    """Longest-path layering of a DAG (topological levels).
+
+    level(v) = 0 for sources, else 1 + max(level(u)) over in-edges — the
+    minimal assignment under which every edge goes to a strictly higher
+    level, i.e. the canonical parallel-schedule depth of the
+    condensation DAG from :func:`condensation_edges` ("how many
+    sequential waves does this dependency graph force?"). Vertices on
+    the same level are mutually unordered and can run concurrently.
+
+    Synchronous max-relaxation with a CHANGED-delta frontier: per round
+    only edges leaving vertices whose level just grew are joined, so
+    total work across the run is O(depth-bounded relaxations), not
+    O(rounds · E); fixpoint in exactly depth(DAG) rounds (monotone — a
+    settled longest path never shrinks). Each round's merged state is
+    eagerly localCheckpoint-truncated (the operators/pagerank.py:26-31
+    plan-doubling hazard: the merge reads the previous level table
+    twice). A cycle makes levels grow forever; the ``max_iter`` bound
+    converts that into converged=False instead of a hang — the
+    condensation input is acyclic by construction, so False there means
+    max_iter was set below the DAG depth.
+    """
+    spark = dag_edges.sparkSession
+    num_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        dag_edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(num_parts, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    levels = (
+        nodes.withColumn("level", F.lit(0).cast("long"))
+        .repartition(num_parts, "id")
+        .localCheckpoint(eager=True)
+    )
+    changed = levels
+    n_changed = changed.count()
+    metrics: list[dict] = [{"round": 0, "changed": n_changed}]
+    rounds = 0
+    converged = n_changed == 0
+    while rounds < max_iter and n_changed > 0:
+        rounds += 1
+        cand = (
+            e.join(changed, e.src == changed.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("level") + F.lit(1)).alias("cand"))
+        )
+        merged = (
+            levels.join(cand, "id", "left")
+            .select(
+                "id",
+                "level",
+                F.coalesce(F.col("cand"), F.lit(-1)).alias("cand"),
+            )
+            .repartition(num_parts, "id")
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("cand") > F.col("level")).select(
+            "id", F.col("cand").alias("level")
+        )
+        n_changed = changed.count()
+        levels = merged.select(
+            "id",
+            F.greatest(F.col("level"), F.col("cand")).alias("level"),
+        )
+        metrics.append({"round": rounds, "changed": n_changed})
+        if n_changed == 0:
+            converged = True
+    e.unpersist()
+    return TopoLevelsResult(
+        levels.select("id", "level"), rounds, converged, metrics
+    )

@@ -1,0 +1,224 @@
+"""Wave-9: subgraph sampling, percentile quality filter, PageRank
+warm-start, and watermarked tumbling-window streaming counts."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import edges_df
+
+
+# ---------------------------------------------------- subgraph sampling
+def test_sample_subgraph_vertex_induced_and_monotone(spark):
+    from parallel_pagerank_spark.functions.splits import split_bucket
+    from parallel_pagerank_spark.operators.graph import sample_subgraph
+
+    edges = [(i, (i * 7 + 3) % 200) for i in range(200)] + [
+        (i, (i + 1) % 200) for i in range(200)
+    ]
+    df = edges_df(spark, edges)
+    out = sample_subgraph(df, 0.5)
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    # oracle: recompute membership from the bucket directly
+    ids = {u for e in edges for u in e}
+    bucket = {
+        r["id"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in ids], "id long")
+        .select("id", split_bucket(F.col("id")).alias("b"))
+        .collect()
+    }
+    keep = {i for i in ids if bucket[i] < int(0.5 * 2**32)}
+    want = {(s, t) for s, t in edges if s in keep and t in keep}
+    assert got == want
+    # vertex-induced: no kept edge touches a dropped vertex
+    for s, t in got:
+        assert s in keep and t in keep
+    # monotone: a bigger fraction is a superset
+    bigger = {
+        (r["src"], r["dst"]) for r in sample_subgraph(df, 0.8).collect()
+    }
+    assert got <= bigger
+    # full fraction is the identity
+    assert sample_subgraph(df, 1.0).count() == len(edges)
+    with pytest.raises(ValueError):
+        sample_subgraph(df, 1.5)
+
+
+# ------------------------------------------------ percentile filtering
+def test_percentile_filter_exact_vs_python(spark):
+    from parallel_pagerank_spark.functions.profile import percentile_filter
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "de", float((i * 37) % 101))
+        for i in range(40)
+    ] + [(100, "zh", 5.0)]  # singleton stratum
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = percentile_filter(df, "s", "lang", 0.25)
+    got = {r["doc_id"]: r["pct"] for r in out.collect()}
+    # python oracle
+    want = {}
+    for lang in ("en", "de", "zh"):
+        grp = sorted(
+            [(s, i) for i, lg, s in rows if lg == lang]
+        )
+        n = len(grp)
+        for rank, (s, i) in enumerate(grp):
+            pct = rank / (n - 1) if n > 1 else 0.0
+            if pct >= 0.25:
+                want[i] = pct
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-12
+    # singleton stratum has pct 0 → dropped at 0.25, kept at 0.0
+    assert 100 not in got
+    kept_all = percentile_filter(df, "s", "lang", 0.0)
+    assert kept_all.count() == len(rows)
+    with pytest.raises(ValueError):
+        percentile_filter(df, "s", "lang", 1.5)
+
+
+def test_percentile_filter_approx_tier(spark):
+    from parallel_pagerank_spark.functions.profile import percentile_filter
+
+    rows = [(i, "en", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, s double")
+    out = percentile_filter(df, "s", "lang", 0.5, approx=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    # exact cutoff would keep 50..99; the sketch is exact on 100 values
+    assert ids[0] <= 51 and ids[-1] == 99 and len(ids) >= 49
+    assert "pct" not in out.columns
+
+
+# -------------------------------------------------- PageRank warm-start
+def test_pagerank_warm_start_same_fixpoint_fewer_iterations(spark):
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 0), (1, 4)]
+    df = edges_df(spark, edges)
+    # cold runs auto-route to the vectorized tier (iteration-count parity
+    # with the distributed loop is pinned by the routing tests); the
+    # warm-started runs exercise the distributed loop's init path
+    cfg = PageRankConfig(tol=1e-6)
+    cold = pagerank(df, config=cfg)
+    assert cold.converged
+    # warm start from the converged vector (scaled: normalization must
+    # handle any positive total) on the SAME graph → immediate fixpoint
+    warm_init = cold.ranks.select(
+        "id", (F.col("rank") * 7.0).alias("rank")
+    )
+    warm = pagerank(df, config=cfg, init_ranks=warm_init)
+    assert warm.converged
+    assert warm.iterations < cold.iterations
+    got = {r["id"]: r["rank"] for r in warm.ranks.collect()}
+    want = {r["id"]: r["rank"] for r in cold.ranks.collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-6
+    # perturbed graph (one extra edge): warm-started run reaches the
+    # same fixpoint as a cold run on the new graph
+    df2 = edges_df(spark, edges + [(0, 3)])
+    cold2 = pagerank(df2, config=cfg)
+    warm2 = pagerank(df2, config=cfg, init_ranks=cold.ranks)
+    assert warm2.converged
+    w2 = {r["id"]: r["rank"] for r in warm2.ranks.collect()}
+    c2 = {r["id"]: r["rank"] for r in cold2.ranks.collect()}
+    for i in c2:
+        assert abs(w2[i] - c2[i]) < 1e-6
+    assert warm2.iterations <= cold2.iterations
+
+
+def test_pagerank_warm_start_validates(spark):
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+
+    df = edges_df(spark, [(0, 1), (1, 0)])
+    bad = df.sparkSession.createDataFrame(
+        [(0, 0.0), (1, 0.0)], "id long, rank double"
+    )
+    with pytest.raises(ValueError):
+        pagerank(df, init_ranks=bad)
+
+
+# ------------------------------------- watermarked tumbling-window counts
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    import glob
+    import os
+    import time
+
+    from parallel_pagerank_spark.streaming.windows import (
+        run_windowed_counts_to_parquet,
+        windowed_event_counts,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string"
+    # batch A: punctual rows across two 1-hour windows
+    batch_a = [
+        (1, _ts(10, 5), "click"),
+        (2, _ts(10, 20), "click"),
+        (3, _ts(10, 40), "view"),
+        (4, _ts(11, 10), "click"),
+    ]
+    # batch B: a row far in the future — advances the watermark past
+    # every earlier window
+    batch_b = [(5, _ts(23, 0), "view")]
+    # batch C: one more punctual row; the advanced watermark takes
+    # effect in this batch, finalizing + emitting the morning windows
+    batch_c = [(7, _ts(23, 30), "view")]
+    # batch D (arrives last): a LATE row for the already-FINALIZED
+    # 10:00 window — the watermark must drop it, never re-emit. (A
+    # late row whose window state is still open is merged, not dropped
+    # — that's the engine's contract, so finalization must precede.)
+    batch_d = [(6, _ts(10, 50), "click")]
+    in_dir = str(tmp_path / "in")
+    now = time.time()
+    seen: set[str] = set()
+    for age, batch in (
+        (180, batch_a),
+        (120, batch_b),
+        (60, batch_c),
+        (0, batch_d),
+    ):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        fresh = set(glob.glob(f"{in_dir}/*.parquet")) - seen
+        seen |= fresh
+        for f in fresh:
+            os.utime(f, (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    run_windowed_counts_to_parquet(
+        windowed_event_counts(stream, "1 hour", "1 hour"), out, ck
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # closed windows = batch aggregation over the PUNCTUAL rows
+    punctual = spark.createDataFrame(batch_a, schema)
+    closed = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(punctual, "1 hour", "1 hour")
+        .collect()
+    }
+    for k, v in closed.items():
+        assert got.get(k) == v, k
+    # the late row was dropped: the 10:00 click window stayed at 2
+    assert got[(_ts(10), "click")] == 2
+    # the future rows' own window may or may not have closed — but it
+    # must never appear with a wrong count
+    future = got.get((_ts(23), "view"))
+    assert future in (None, 2)
