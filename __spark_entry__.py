@@ -1328,6 +1328,55 @@ def _q_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_test_containment(spark, sf_dir):
+    """Eval-side contamination score (functions/decontam.py
+    ngram_containment): per TEST doc, the fraction of its distinct
+    4-grams found anywhere in the train split — the published
+    dirty-doc metric. Integer counts; containment is a single IEEE
+    division (hash-exact)."""
+    from parallel_pagerank_spark.functions.decontam import (
+        ngram_containment,
+    )
+    from parallel_pagerank_spark.functions.splits import assign_split
+
+    docs = assign_split(_documents(spark, sf_dir))
+    train = docs.filter(F.col("split") == "train")
+    test = docs.filter(F.col("split") == "test")
+    return ngram_containment(train, test, n=4, key="text")
+
+
+def _q_mis(spark, sf_dir):
+    """Deterministic-Luby maximal independent set (operators/mis.py) on
+    the undirected mod-30 subgraph. Priorities are the portable hash
+    salted by round, so the oracle replays the identical rounds; the
+    oracle packs (bucket, id) into one int64 (valid: event ids < 2^31),
+    the engine compares the struct — the same total order."""
+    from parallel_pagerank_spark.operators.mis import (
+        maximal_independent_set,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir).filter((F.col("user_id") % 30) == 0)
+    res = maximal_independent_set(event_graph_edges(ev))
+    return res.members
+
+
+def _q_quotient_lpa5(spark, sf_dir):
+    """Community-to-community traffic: the quotient multigraph
+    (operators/scc.py quotient_graph, intra pairs kept) of the 5-step
+    LPA labeling — the coarsened supergraph of multilevel methods.
+    All-integer, hash-exact; reuses the hash-checked LPA-5 chain."""
+    from parallel_pagerank_spark.operators.labelprop import (
+        label_propagation,
+    )
+    from parallel_pagerank_spark.operators.scc import quotient_graph
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir))
+    res = label_propagation(edges, max_iter=5)
+    return quotient_graph(edges, res.labels)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1410,6 +1459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_sample": _q_subgraph_sample,
         "quality_filter": _q_quality_filter,
         "windowed_counts": _q_windowed_counts,
+        "test_containment": _q_test_containment,
+        "mis": _q_mis,
+        "quotient_lpa5": _q_quotient_lpa5,
     }
 
 
@@ -2572,6 +2624,19 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "subgraph_sample": _subgraph_sample_sql(0.3),
         "quality_filter": _quality_filter_sql(0.25),
         "windowed_counts": _windowed_counts_sql(3_600_000_000),
+        "test_containment": _containment_sql(4),
+        "mis": _mis_sql(30, 12),
+        "quotient_lpa5": _lpa_sql(
+            5,
+            final_select=(
+                "SELECT la.label AS src_label, lb.label AS dst_label, "
+                "count(*) AS n_links "
+                "FROM edges e "
+                "JOIN l5 la ON e.src = la.id "
+                "JOIN l5 lb ON e.dst = lb.id "
+                "GROUP BY la.label, lb.label"
+            ),
+        ),
     }
 
 
@@ -2586,11 +2651,12 @@ def _stratified_sample_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred}"
 
 
-def _decontaminate_sql(n: int) -> str:
-    """Mirror of functions/decontam.ngram_contamination over the
-    portable-hash split: word n-grams via lead(w, k) (n fixed, so the
-    unrolled-lead form replaces Spark's transform/slice — same set),
-    distinct per doc, train ⋈ test on the gram string."""
+def _split_grams_cte(n: int) -> str:
+    """Shared CTE prefix: per-doc DISTINCT word n-grams of the
+    normalized text, tagged with the portable-hash split. Word n-grams
+    via lead(w, k) (n fixed, so the unrolled-lead form replaces Spark's
+    transform/slice — same set). Used by the decontaminate and
+    test_containment oracles."""
     from parallel_pagerank_spark.functions.splits import split_case_sql
 
     leads = ", ".join(
@@ -2599,7 +2665,7 @@ def _decontaminate_sql(n: int) -> str:
     )
     gram = " || ' ' || ".join(["w"] + [f"w{k}" for k in range(1, n)])
     return f"""
-WITH s AS MATERIALIZED (
+s AS MATERIALIZED (
   SELECT doc_id, {split_case_sql('doc_id')} AS split,
          {_NORM_TEXT_SQL} AS norm
   FROM documents),
@@ -2613,7 +2679,14 @@ toks AS MATERIALIZED (
 grams AS MATERIALIZED (
   SELECT DISTINCT doc_id, split, {gram} AS gram FROM (
     SELECT doc_id, split, w, {leads} FROM toks)
-  WHERE w{n - 1} IS NOT NULL)
+  WHERE w{n - 1} IS NOT NULL)"""
+
+
+def _decontaminate_sql(n: int) -> str:
+    """Mirror of functions/decontam.ngram_contamination over the
+    portable-hash split: train ⋈ test on the gram string."""
+    return f"""
+WITH {_split_grams_cte(n)}
 SELECT t.doc_id,
        count(DISTINCT t.gram) AS n_shared,
        count(DISTINCT e.doc_id) AS n_test_docs,
@@ -2621,6 +2694,32 @@ SELECT t.doc_id,
 FROM (SELECT * FROM grams WHERE split = 'train') t
 JOIN (SELECT * FROM grams WHERE split = 'test') e ON t.gram = e.gram
 GROUP BY t.doc_id
+"""
+
+
+def _containment_sql(n: int) -> str:
+    """Mirror of functions/decontam.ngram_containment: per TEST doc the
+    fraction of its distinct n-grams present anywhere in train. Integer
+    counts + one IEEE division."""
+    return f"""
+WITH {_split_grams_cte(n)},
+tr AS MATERIALIZED (
+  SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+te AS MATERIALIZED (
+  SELECT doc_id, gram FROM grams WHERE split = 'test'),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_hit FROM te
+  WHERE gram IN (SELECT gram FROM tr) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(tot.n_grams, 0) AS n_grams,
+       coalesce(hit.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(tot.n_grams, 0) > 0
+            THEN coalesce(hit.n_hit, 0)::DOUBLE / tot.n_grams::DOUBLE
+            ELSE 0.0 END AS containment
+FROM (SELECT doc_id FROM s WHERE split = 'test') d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN hit USING (doc_id)
 """
 
 
@@ -2730,6 +2829,67 @@ SELECT {start} AS window_start_us,
 FROM events
 GROUP BY 1, 2, 3
 """
+
+
+def _mis_sql(user_mod: int, rounds: int) -> str:
+    """Unrolled deterministic-Luby MIS mirroring
+    operators/mis.maximal_independent_set on the undirected simple
+    graph of the mod subgraph. Per round: portable bucket salted by the
+    round number, packed with the id into one int64 key
+    (bucket·2^31 + id ≡ (bucket, id) lexicographic for ids < 2^31 —
+    true for event ids), winner iff strictly below every active
+    neighbor's key, winners ∪ their neighbors retire. Extra rounds past
+    convergence are no-ops (empty active set), so ``rounds`` only needs
+    to be ≥ the measured fixpoint. All-integer, hash-exact."""
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE user_id % {user_mod} = 0),
+reply AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+handoff AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+    WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst
+    FROM (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+    WHERE src <> dst)),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+m0 AS (SELECT id FROM a0 WHERE FALSE)"""]
+    for r in range(1, rounds + 1):
+        key = f"({split_bucket_sql('id', salt=r)}) * 2147483648 + id"
+        parts.append(f""",
+k{r} AS MATERIALIZED (SELECT id, {key} AS key FROM a{r - 1}),
+nm{r} AS MATERIALIZED (
+  SELECT e.src AS id, min(kd.key) AS m
+  FROM sym e
+  JOIN k{r} ks ON ks.id = e.src
+  JOIN k{r} kd ON kd.id = e.dst
+  GROUP BY e.src),
+w{r} AS MATERIALIZED (
+  SELECT ks.id FROM k{r} ks LEFT JOIN nm{r} n ON n.id = ks.id
+  WHERE n.m IS NULL OR ks.key < n.m),
+rn{r} AS (
+  SELECT DISTINCT e.dst AS id FROM sym e JOIN w{r} w ON w.id = e.src),
+a{r} AS MATERIALIZED (
+  SELECT a.id FROM a{r - 1} a
+  LEFT JOIN w{r} w ON w.id = a.id
+  LEFT JOIN rn{r} n ON n.id = a.id
+  WHERE w.id IS NULL AND n.id IS NULL),
+m{r} AS (SELECT id FROM m{r - 1} UNION ALL SELECT id FROM w{r})""")
+    parts.append(f"\nSELECT id FROM m{rounds}")
+    return "".join(parts)
 
 
 def _dataset_split_sql() -> str:

@@ -98,3 +98,70 @@ def ngram_contamination(
             F.min("test_doc").alias("first_test_doc"),
         )
     )
+
+
+def ngram_containment(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "text",
+) -> DataFrame:
+    """Eval-side contamination score: per TEST document, the fraction of
+    its distinct word n-grams that appear anywhere in the training set.
+
+    This is the published "containment" metric (the GPT-4/Llama-style
+    dirty-doc rule flags an eval doc when containment exceeds a
+    threshold like 0.8) — the complement of :func:`ngram_contamination`,
+    which reports per-TRAIN-doc leaks. Returns one row per test doc:
+    ``(doc_id, n_grams, n_hit, containment)`` with containment =
+    n_hit / n_grams (0.0 for docs too short to have any n-gram, by
+    convention). Exact integer counts and a single IEEE division —
+    engine-portable without float tolerance.
+
+    Scale shape: the train side collapses to its DISTINCT gram set
+    before the join (one aggregation keyed on the gram), the join is a
+    LEFT SEMI against that set (no fan-out on hot grams — a gram
+    appearing in 10^6 train docs contributes one row), then one count
+    keyed by test doc. Same ``key`` tiers as ngram_contamination.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if key not in ("text", "hash64"):
+        raise ValueError(f"key must be 'text' or 'hash64', got {key!r}")
+
+    def grams_of(df: DataFrame) -> DataFrame:
+        g = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(ngram_set(F.col(text_col), n)).alias("gram"),
+        )
+        if key == "hash64":
+            g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
+        return g
+
+    te = grams_of(test)
+    tr_set = grams_of(train).select("gram").distinct()
+    hits = (
+        te.join(tr_set, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = te.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    base = test.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("containment"),
+        )
+    )

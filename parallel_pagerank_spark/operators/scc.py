@@ -376,3 +376,40 @@ def topological_levels(
     return TopoLevelsResult(
         levels.select("id", "level"), rounds, converged, metrics
     )
+
+
+def quotient_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    label_col: str = "label",
+    keep_intra: bool = True,
+) -> DataFrame:
+    """Coarsen the graph by ANY vertex labeling: one row per ordered
+    label pair with at least one edge, ``(src_label, dst_label,
+    n_links)`` — the quotient (super-)graph of multilevel graph
+    methods, with intra-community edges kept as self-pairs
+    (``keep_intra=False`` reproduces :func:`condensation_edges`'s
+    cross-edges-only shape for labelings that aren't SCCs).
+
+    Composes with any labeling the engine produces — LPA communities
+    (community-to-community traffic), connected components, SCCs, or
+    an external assignment. Same scale shape as condensation_edges:
+    two endpoint joins + one aggregation on the label pair.
+    """
+    lab = labels.select("id", F.col(label_col).alias("__lab"))
+    s_src = lab.select(
+        F.col("id").alias("src"), F.col("__lab").alias("src_label")
+    )
+    s_dst = lab.select(
+        F.col("id").alias("dst"), F.col("__lab").alias("dst_label")
+    )
+    out = (
+        edges.select("src", "dst")
+        .join(s_src, "src")
+        .join(s_dst, "dst")
+    )
+    if not keep_intra:
+        out = out.filter(F.col("src_label") != F.col("dst_label"))
+    return out.groupBy("src_label", "dst_label").agg(
+        F.count("*").alias("n_links")
+    )
