@@ -1377,6 +1377,42 @@ def _q_quotient_lpa5(spark, sf_dir):
     return quotient_graph(edges, res.labels)
 
 
+def _q_sample_k(spark, sf_dir):
+    """Exact-k deterministic sample (functions/splits.py sample_fixed_k):
+    the 50 smallest (portable-bucket, doc_id) pairs — plans as
+    TakeOrderedAndProject (per-partition top-k heap, never a full
+    sort). Prefix property: the k+1 sample is this sample plus one."""
+    from parallel_pagerank_spark.functions.splits import sample_fixed_k
+
+    return sample_fixed_k(_documents(spark, sf_dir), 50).select(
+        "doc_id", "lang"
+    )
+
+
+def _q_sample_k_per_lang(spark, sf_dir):
+    """Balanced eval-set cut (functions/splits.py sample_per_stratum_k):
+    exactly min(10, |lang|) docs per language by (bucket, doc_id)
+    row_number."""
+    from parallel_pagerank_spark.functions.splits import (
+        sample_per_stratum_k,
+    )
+
+    return sample_per_stratum_k(
+        _documents(spark, sf_dir), "lang", 10
+    ).select("doc_id", "lang")
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase (sources/events.py
+    funnel_counts): per-user earliest-completion chaining, step i+1
+    strictly after step i. All-integer counts, hash-exact."""
+    from parallel_pagerank_spark.sources.events import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1462,6 +1498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "test_containment": _q_test_containment,
         "mis": _q_mis,
         "quotient_lpa5": _q_quotient_lpa5,
+        "sample_k": _q_sample_k,
+        "sample_k_per_lang": _q_sample_k_per_lang,
+        "funnel": _q_funnel,
     }
 
 
@@ -2626,6 +2665,9 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "windowed_counts": _windowed_counts_sql(3_600_000_000),
         "test_containment": _containment_sql(4),
         "mis": _mis_sql(30, 12),
+        "sample_k": _sample_k_sql(50),
+        "sample_k_per_lang": _sample_k_per_stratum_sql(10),
+        "funnel": _funnel_sql(("view", "click", "purchase")),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -2890,6 +2932,50 @@ a{r} AS MATERIALIZED (
 m{r} AS (SELECT id FROM m{r - 1} UNION ALL SELECT id FROM w{r})""")
     parts.append(f"\nSELECT id FROM m{rounds}")
     return "".join(parts)
+
+
+def _sample_k_sql(k: int) -> str:
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    return f"""
+SELECT doc_id, lang FROM documents
+ORDER BY ({split_bucket_sql('doc_id')}), doc_id LIMIT {k}
+"""
+
+
+def _sample_k_per_stratum_sql(k: int) -> str:
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ({split_bucket_sql('doc_id')}), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {k}
+"""
+
+
+def _funnel_sql(steps: tuple[str, ...]) -> str:
+    # earliest-completion chain mirroring sources/events.funnel_counts
+    ctes = [
+        f"s1 AS MATERIALIZED (SELECT user_id AS u, min(ts) AS t "
+        f"FROM events WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT e.user_id AS u, "
+            f"min(e.ts) AS t FROM events e JOIN s{i} ON e.user_id = s{i}.u "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > s{i}.t "
+            f"GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {i + 1} AS step_idx, '{st}' AS step, "
+        f"(SELECT count(*) FROM s{i + 1}) AS n_users"
+        for i, st in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def _dataset_split_sql() -> str:

@@ -120,9 +120,11 @@ def stratified_sample(
     the same row set is produced on any cluster, engine version, or
     re-partitioning, and growing a stratum's rate only ever ADDS rows
     (monotone, like :func:`assign_split`'s ranges). Pure Column
-    arithmetic — no shuffle, no Python; the filter pushes down to the
-    scan. A 100 TB corpus mix (e.g. upsample-by-dedup-tier, downsample
-    boilerplate) is one scan at full parallelism.
+    arithmetic — no shuffle, no Python; the filter runs scan-side in
+    the read stage (a computed hash cannot enter parquet PushedFilters,
+    but it precedes any exchange). A 100 TB corpus mix (e.g.
+    upsample-by-dedup-tier, downsample boilerplate) is one scan at full
+    parallelism.
 
     Rows whose stratum is missing from ``rates`` use ``default_rate``
     (0.0 = dropped), so an unexpected new stratum fails CLOSED rather
@@ -156,3 +158,69 @@ def stratified_sample_sql(
         for name, rate in rates.items()
     )
     return f"({bucket}) < (CASE {arms} ELSE {int(default_rate * _M)} END)"
+
+
+def sample_fixed_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    method: str = "portable",
+) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY k rows: the k smallest
+    (bucket, id) pairs under the portable hash.
+
+    Rate-based sampling (:func:`stratified_sample`) yields a *binomial*
+    size; audits, goldens, and eval sets want an exact count. Ordering
+    by the hash makes the choice uniform; the id tie-break makes it
+    total; and the sample has the PREFIX property — the k+1 sample is
+    the k sample plus one row — so growing a golden set never churns
+    it.
+
+    Scale shape: ORDER BY + LIMIT k plans as TakeOrderedAndProject — a
+    per-partition top-k heap and a k-row merge on the driver side of
+    the exchange, never a full sort of the table (the same reason G1
+    top-k is cheap, SURVEY.md §2).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    bucket = split_bucket(F.col(id_col), salt=salt, method=method)
+    return (
+        df.withColumn("__b", bucket)
+        .orderBy("__b", id_col)
+        .limit(k)
+        .drop("__b")
+    )
+
+
+def sample_per_stratum_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    method: str = "portable",
+) -> DataFrame:
+    """Deterministic sample of exactly min(k, |stratum|) rows PER
+    stratum: row_number over (bucket, id) within each stratum, kept
+    while <= k — the balanced-eval-set construction (same number of
+    docs per language regardless of corpus skew).
+
+    Same determinism/prefix properties as :func:`sample_fixed_k`,
+    per stratum. One shuffle keyed on the stratum; a giant stratum
+    serializes into one task's sort — for 100 TB strata prefer
+    :func:`stratified_sample` with rate ≈ k/|stratum| as a pre-filter,
+    then this for the exact cut (two scans, bounded sort).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    from pyspark.sql import Window
+
+    bucket = split_bucket(F.col(id_col), salt=salt, method=method)
+    w = Window.partitionBy(strata_col).orderBy("__b", id_col)
+    return (
+        df.withColumn("__b", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__b", "__rn")
+    )

@@ -107,7 +107,10 @@ def sample_subgraph(
     Expected edge retention is frac² for independent endpoints.
 
     Pure Column predicate — no shuffle, no join against a sampled
-    vertex table, pushes down to the scan; monotone in ``frac`` (a
+    vertex table; evaluated scan-side in the same stage as the read
+    (the hash arithmetic is a computed expression, so it cannot enter
+    the parquet PushedFilters — but it runs before any exchange, which
+    is what matters); monotone in ``frac`` (a
     bigger sample is a superset); ``salt`` re-deals the sample. The
     100 TB use case: iterate an algorithm change on a 1% induced slice
     with exactly reproducible membership, then remove the filter.
