@@ -27,23 +27,28 @@ def test_checkpoint_manifest_and_resume(spark, tmp_path):
     # DOUBLES per iteration — 2^7 vs 2^5 leaves between truncations made
     # the interval-7 variant ~6x slower in driver-side analysis alone,
     # measuring Catalyst instead of the checkpoint contract
-    cfg = PageRankConfig(checkpoint_dir=ck, checkpoint_interval=5)
+    # tol 1e-4 (reference default, 16 iters vs 26): the checkpoint
+    # CONTRACT is under test, not the tolerance — 1e-6 iteration parity
+    # is pinned by test_small_graph_golden
+    cfg = PageRankConfig(
+        tol=1e-4, checkpoint_dir=ck, checkpoint_interval=5
+    )
     res = pagerank(df, config=cfg)
-    assert res.converged and res.iterations == 26
+    assert res.converged and res.iterations == 16
 
     manifest = json.loads((tmp_path / "ck/pagerank/manifest.json").read_text())
     iters = [m["iteration"] for m in manifest]
-    assert iters == [5, 10, 15, 20, 25, 26]
+    assert iters == [5, 10, 15, 16]
     assert manifest[-1]["converged"] is True
     # per-partition lineage recorded
     assert sum(p["rows"] for p in manifest[-1]["partitions"]) == 4
     # convergence metrics carried in the manifest
-    assert len(manifest[-1]["metrics"]) == 26
-    assert manifest[-1]["metrics"][-1]["l1"] < 1e-6
+    assert len(manifest[-1]["metrics"]) == 16
+    assert manifest[-1]["metrics"][-1]["l1"] < 1e-4
 
     # resume from a converged checkpoint: immediate return, same ranks
     res2 = pagerank(df, config=cfg, resume=True)
-    assert res2.converged and res2.iterations == 26
+    assert res2.converged and res2.iterations == 16
     a = {r["id"]: r["rank"] for r in res.ranks.collect()}
     b = {r["id"]: r["rank"] for r in res2.ranks.collect()}
     assert a == b
@@ -57,20 +62,22 @@ def test_resume_from_partial_checkpoint(spark, tmp_path):
     partial = pagerank(
         df,
         config=PageRankConfig(
-            checkpoint_dir=ck, checkpoint_interval=5, max_iter=10
+            tol=1e-4, checkpoint_dir=ck, checkpoint_interval=5, max_iter=10
         ),
     )
     assert not partial.converged and partial.iterations == 10
     resumed = pagerank(
         df,
-        config=PageRankConfig(checkpoint_dir=ck, checkpoint_interval=5),
+        config=PageRankConfig(
+            tol=1e-4, checkpoint_dir=ck, checkpoint_interval=5
+        ),
         resume=True,
     )
     assert resumed.converged
     # resume restarts from iteration 10 (last checkpoint) and lands on the
     # same fixpoint and total iteration count as the uninterrupted run
-    assert resumed.iterations == 26
-    oracle_ranks, _, _ = pagerank_oracle(SMALL_GRAPH, tol=1e-6)
+    assert resumed.iterations == 16
+    oracle_ranks, _, _ = pagerank_oracle(SMALL_GRAPH, tol=1e-4)
     got = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
     assert np.allclose(
         [got[i] for i in range(4)], oracle_ranks, atol=1e-6
