@@ -1413,6 +1413,24 @@ def _q_funnel(spark, sf_dir):
     )
 
 
+def _q_boilerplate(spark, sf_dir):
+    """Passage-level boilerplate mining (functions/text.py
+    repeated_passages): passages >= 15 chars appearing verbatim in >= 3
+    distinct docs — the C4-style repeated-passage rule. The synthetic
+    corpus has no sentence punctuation, so the driver row delimits on
+    the frequent token ' the ' instead of '. ' (a literal delimiter in
+    both engines; the default-delimiter path is pytest-covered).
+    All-integer + string output, hash-exact."""
+    from parallel_pagerank_spark.functions.text import repeated_passages
+
+    return repeated_passages(
+        _documents(spark, sf_dir),
+        min_docs=3,
+        min_chars=15,
+        delimiter=" the ",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1501,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k": _q_sample_k,
         "sample_k_per_lang": _q_sample_k_per_lang,
         "funnel": _q_funnel,
+        "boilerplate": _q_boilerplate,
     }
 
 
@@ -2668,6 +2687,7 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "sample_k": _sample_k_sql(50),
         "sample_k_per_lang": _sample_k_per_stratum_sql(10),
         "funnel": _funnel_sql(("view", "click", "purchase")),
+        "boilerplate": _boilerplate_sql(3, 15, " the "),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -2932,6 +2952,20 @@ a{r} AS MATERIALIZED (
 m{r} AS (SELECT id FROM m{r - 1} UNION ALL SELECT id FROM w{r})""")
     parts.append(f"\nSELECT id FROM m{rounds}")
     return "".join(parts)
+
+
+def _boilerplate_sql(min_docs: int, min_chars: int, delim: str) -> str:
+    return f"""
+WITH dd AS MATERIALIZED (
+  SELECT DISTINCT doc_id, passage FROM (
+    SELECT doc_id, trim(p) AS passage FROM (
+      SELECT doc_id,
+             unnest(string_split({_NORM_TEXT_SQL}, '{delim}')) AS p
+      FROM documents))
+  WHERE length(passage) >= {min_chars})
+SELECT passage, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM dd GROUP BY passage HAVING count(*) >= {min_docs}
+"""
 
 
 def _sample_k_sql(k: int) -> str:

@@ -466,3 +466,62 @@ def token_entropy(
         .otherwise(F.lit(0.0))
         .alias("entropy_ratio"),
     )
+
+
+def repeated_passages(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    min_chars: int = 20,
+    delimiter: str = ". ",
+) -> DataFrame:
+    """Corpus-level boilerplate mining: sentence-ish passages appearing
+    verbatim in many distinct documents (headers, footers, cookie
+    banners, license blurbs) — the passage-granular companion to
+    document dedup, in the spirit of C4's repeated-three-sentence rule
+    (Raffel et al. 2020).
+
+    Passages are the '. '-delimited fragments of the canonical
+    normalized text (a literal split — deliberately: it is the one
+    sentence rule every engine reproduces bit-identically; RE2-based
+    engines have no lookbehind, so no clever regex), kept when at
+    least ``min_chars`` long. A passage counts once per document
+    (array_distinct before the explode). Returns
+    ``(passage, n_docs, first_doc)`` for passages in >= ``min_docs``
+    distinct docs — feed the result back as an anti-join or a
+    regexp_replace to strip the boilerplate. ``delimiter`` is a LITERAL
+    passage separator (regex-quoted on the Spark side so any SQL
+    engine's literal string_split reproduces it) — corpora without
+    sentence punctuation can delimit on a frequent token instead.
+
+    Scale shape: the only shuffle keys on the passage string (swap in
+    xxhash64 for fixed-width keys when passages are long — same
+    fingerprint-not-text rule as exact dedup); count + min fuse into
+    one aggregation pass.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    frags = F.array_distinct(
+        F.filter(
+            F.transform(
+                # \Q...\E: java-regex literal quoting of the delimiter
+                F.split(
+                    normalized_text(F.col(text_col)),
+                    "\\Q" + delimiter + "\\E",
+                ),
+                lambda p: F.trim(p),
+            ),
+            lambda p: F.length(p) >= min_chars,
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), frags.alias("ps"))
+        .select("doc_id", F.explode("ps").alias("passage"))
+        .groupBy("passage")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

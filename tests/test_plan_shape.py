@@ -304,3 +304,58 @@ def test_katz_superstep_is_single_shuffle(spark):
     # (truncated lineage), not a 2-round join tower
     plan = _plan(res.scores)
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_sample_fixed_k_plans_take_ordered(spark):
+    """sample_fixed_k must plan TakeOrderedAndProject (per-partition
+    top-k heap), never a global Sort of the table."""
+    from parallel_pagerank_spark.functions.splits import sample_fixed_k
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = _plan(sample_fixed_k(df, 5))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sample_subgraph_is_pure_filter(spark):
+    """Vertex-induced sampling must be a scan-side predicate: no join
+    against a sampled vertex table, no Exchange anywhere."""
+    from parallel_pagerank_spark.operators.graph import sample_subgraph
+
+    edges = spark.range(100).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+    )
+    plan = _plan(sample_subgraph(edges, 0.3))
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_decontam_gram_join_is_equi_join(spark):
+    """The decontamination join must key on the gram (hash or sort-merge
+    equi-join) — never a cartesian/nested-loop pairing of doc sets."""
+    from parallel_pagerank_spark.functions.decontam import (
+        ngram_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "b c d e")], "doc_id long, text string"
+    )
+    plan = _plan(ngram_contamination(docs, docs, n=3))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_mis_and_topo_truncate_lineage():
+    """Same plan-growth safety as hits/bfs/paths for the round-10/8
+    iterative operators (active set / level table referenced twice per
+    round)."""
+    import pathlib
+
+    ops = pathlib.Path(__file__).resolve().parent.parent / (
+        "parallel_pagerank_spark"
+    ) / "operators"
+    for mod in ("mis.py",):
+        src = (ops / mod).read_text()
+        assert "localCheckpoint(eager=True)" in src, mod
+    scc_src = (ops / "scc.py").read_text()
+    topo = scc_src[scc_src.index("def topological_levels") :]
+    assert "localCheckpoint(eager=True)" in topo

@@ -109,3 +109,31 @@ def test_funnel_counts_validates_and_monotone(spark):
     out = funnel_counts(ev, ["view", "click"]).collect()
     ns = [r["n_users"] for r in sorted(out, key=lambda r: r["step_idx"])]
     assert ns == [1, 0]
+
+
+# ------------------------------------------------- boilerplate passages
+def test_repeated_passages_vs_hand(spark):
+    from parallel_pagerank_spark.functions.text import repeated_passages
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (0, f"Unique alpha text here. {boiler}. more alpha."),
+        (1, f"Totally different beta. {boiler}. beta beta."),
+        (2, f"{boiler}. gamma content gamma."),
+        (3, "no shared passages in this one at all, honestly."),
+        (4, f"{boiler}. {boiler}. twice in one doc counts once."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["passage"]: (r["n_docs"], r["first_doc"])
+        for r in repeated_passages(docs, min_docs=3, min_chars=10).collect()
+    }
+    assert out == {boiler: (4, 0)}
+    # threshold respected: nothing else appears in >= 3 docs
+    out2 = {
+        r["passage"]
+        for r in repeated_passages(docs, min_docs=2, min_chars=10).collect()
+    }
+    assert boiler in out2
+    with pytest.raises(ValueError):
+        repeated_passages(docs, min_docs=0)
