@@ -1431,6 +1431,49 @@ def _q_boilerplate(spark, sf_dir):
     )
 
 
+def _q_cluster_assign(spark, sf_dir):
+    """Nearest-centroid assignment (functions/similarity.py
+    assign_to_centroids — the k-means E-step): every embedding assigned
+    to the most-cosine-similar of 8 deterministic centroids (the first
+    8 vec_ids). min_by over a (−cos, id) struct — one broadcast join +
+    one hash aggregation, no window sort. Integer output; the float
+    cosine is internal (argmax flips only on ~ulp ties, the accepted
+    knn_bruteforce risk)."""
+    from parallel_pagerank_spark.functions.similarity import (
+        assign_to_centroids,
+    )
+
+    emb = _embeddings(spark, sf_dir).filter(
+        F.col("embedding").isNotNull()
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    return assign_to_centroids(emb, cents)
+
+
+def _q_drift_nchars(spark, sf_dir):
+    """PSI drift terms of n_chars between the portable-hash train and
+    test splits (functions/profile.py distribution_drift): equal-width
+    integer buckets over the combined range, Laplace-smoothed per-bucket
+    terms — Σ is the PSI (near 0 here: both splits draw from the same
+    corpus). Counts exact; psi_term rounded 9."""
+    from parallel_pagerank_spark.functions.profile import (
+        distribution_drift,
+    )
+    from parallel_pagerank_spark.functions.splits import assign_split
+
+    docs = assign_split(_documents(spark, sf_dir))
+    a = docs.filter(F.col("split") == "train")
+    b = docs.filter(F.col("split") == "test")
+    out = distribution_drift(a, b, "n_chars", 10)
+    return out.select(
+        "bucket", "a_n", "b_n", F.round("psi_term", 9).alias("psi_term")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1520,6 +1563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_k_per_lang": _q_sample_k_per_lang,
         "funnel": _q_funnel,
         "boilerplate": _q_boilerplate,
+        "cluster_assign": _q_cluster_assign,
+        "drift_nchars": _q_drift_nchars,
     }
 
 
@@ -2688,6 +2733,23 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "sample_k_per_lang": _sample_k_per_stratum_sql(10),
         "funnel": _funnel_sql(("view", "click", "purchase")),
         "boilerplate": _boilerplate_sql(3, 15, " the "),
+        "cluster_assign": """
+WITH c AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT v.vec_id AS id, c.centroid_id,
+         list_cosine_similarity(v.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           AS cos
+  FROM embeddings v, c WHERE v.embedding IS NOT NULL)
+SELECT id, centroid_id FROM (
+  SELECT id, centroid_id,
+         row_number() OVER (PARTITION BY id ORDER BY cos DESC, centroid_id)
+           AS rn
+  FROM scored)
+WHERE rn = 1
+""",
+        "drift_nchars": _drift_sql(10),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -2952,6 +3014,42 @@ a{r} AS MATERIALIZED (
 m{r} AS (SELECT id FROM m{r - 1} UNION ALL SELECT id FROM w{r})""")
     parts.append(f"\nSELECT id FROM m{rounds}")
     return "".join(parts)
+
+
+def _drift_sql(n_buckets: int) -> str:
+    from parallel_pagerank_spark.functions.splits import split_case_sql
+
+    b = n_buckets
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT n_chars, {split_case_sql('doc_id')} AS split FROM documents
+  WHERE n_chars IS NOT NULL),
+bounds AS (
+  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM s
+  WHERE split IN ('train', 'test')),
+bk AS (
+  SELECT split,
+         CAST(floor((n_chars - bounds.lo) * {b}
+                    / (bounds.hi - bounds.lo + 1)) AS BIGINT) AS bucket
+  FROM s, bounds WHERE split IN ('train', 'test')),
+ca AS (SELECT bucket, count(*) AS a_n FROM bk WHERE split = 'train' GROUP BY 1),
+cb AS (SELECT bucket, count(*) AS b_n FROM bk WHERE split = 'test' GROUP BY 1),
+na AS (SELECT count(*) AS n FROM bk WHERE split = 'train'),
+nb AS (SELECT count(*) AS n FROM bk WHERE split = 'test'),
+grid AS (SELECT unnest(generate_series(0, {b - 1})) AS bucket)
+SELECT g.bucket,
+       coalesce(ca.a_n, 0) AS a_n,
+       coalesce(cb.b_n, 0) AS b_n,
+       round(((coalesce(ca.a_n, 0) + 0.5) / (na.n + {0.5 * b})
+              - (coalesce(cb.b_n, 0) + 0.5) / (nb.n + {0.5 * b}))
+             * ln(((coalesce(ca.a_n, 0) + 0.5) / (na.n + {0.5 * b}))
+                  / ((coalesce(cb.b_n, 0) + 0.5) / (nb.n + {0.5 * b}))), 9)
+         AS psi_term
+FROM grid g
+LEFT JOIN ca ON ca.bucket = g.bucket
+LEFT JOIN cb ON cb.bucket = g.bucket
+CROSS JOIN na CROSS JOIN nb
+"""
 
 
 def _boilerplate_sql(min_docs: int, min_chars: int, delim: str) -> str:

@@ -139,3 +139,76 @@ def percentile_filter(
         .filter(F.col("pct") >= F.lit(min_percentile))
         .withColumnRenamed("__score", "score")
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index terms between two slices of a numeric
+    column — the standard train/serve (or train/test) drift check: has
+    the distribution of ``value_col`` shifted between snapshot ``a``
+    and snapshot ``b``? PSI = Σ_i (p_i − q_i)·ln(p_i/q_i); rule of
+    thumb: < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted.
+
+    Buckets are EQUAL-WIDTH integer ranges over the combined min..max
+    (pure int64 arithmetic: ``(v − min)·B ÷ (max − min + 1)``), so the
+    bucketing is bit-identical on any engine — no quantile estimation,
+    no float boundaries. Proportions are Laplace-smoothed
+    ((c + 0.5) / (n + B/2)) so empty buckets contribute finite terms.
+    Returns one row per bucket: ``(bucket, a_n, b_n, psi_term)`` —
+    Σ psi_term is the PSI, left to the caller so every emitted float is
+    a single per-bucket expression (engine-portable; no cross-row sum
+    order). Rows with NULL values are excluded from both slices.
+
+    Scale shape: two scalar aggs for the global bounds (one scan each),
+    then one hash aggregation per slice keyed on the bucket — the 100
+    TB cost is two column scans.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    both = a.select(F.col(value_col).alias("v")).unionByName(
+        b.select(F.col(value_col).alias("v"))
+    ).filter(F.col("v").isNotNull())
+    row = both.agg(
+        F.min("v").cast("long").alias("lo"),
+        F.max("v").cast("long").alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        raise ValueError("no non-null values to compare")
+    span = hi - lo + 1
+
+    def bucketed(df: DataFrame, name: str) -> DataFrame:
+        bucket = (
+            (F.col(value_col).cast("long") - F.lit(lo))
+            * F.lit(n_buckets)
+            / F.lit(span)
+        ).cast("long")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(name))
+        )
+
+    spark = a.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    an = a.filter(F.col(value_col).isNotNull()).count()
+    bn = b.filter(F.col(value_col).isNotNull()).count()
+    joined = (
+        buckets.join(bucketed(a, "a_n"), "bucket", "left")
+        .join(bucketed(b, "b_n"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("a_n", F.lit(0)).alias("a_n"),
+            F.coalesce("b_n", F.lit(0)).alias("b_n"),
+        )
+    )
+    p = (F.col("a_n") + F.lit(0.5)) / F.lit(an + 0.5 * n_buckets)
+    q = (F.col("b_n") + F.lit(0.5)) / F.lit(bn + 0.5 * n_buckets)
+    return joined.select(
+        "bucket", "a_n", "b_n", ((p - q) * F.log(p / q)).alias("psi_term")
+    )

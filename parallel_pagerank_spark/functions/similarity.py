@@ -438,3 +438,48 @@ def scalar_quantize(
             / F.size(err).cast("double")
         ).alias("mse"),
     )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine — the E-step of distributed
+    k-means (Lloyd's algorithm): with :func:`embedding_centroids` as the
+    M-step, one assign→centroid round trip is a full Lloyd iteration
+    executed entirely as built-in DataFrame ops.
+
+    Returns ``(id, centroid_id)``: for every vector the centroid with
+    the highest cosine similarity, ties to the smallest centroid id
+    (total, engine-portable order). The centroid table is broadcast
+    (k rows); the argmax is ONE hash aggregation via ``min_by`` over a
+    (−cosine, id)-ordered struct — no window sort, no per-vector
+    row_number. At 100 TB this is a single scan of the vectors at full
+    parallelism; k-means scales in k only through the broadcast width.
+    """
+    c = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vvec"),
+        _norm(F.col(vec_col)).alias("vnorm"),
+    )
+    scored = v.join(F.broadcast(c)).select(
+        "id",
+        "centroid_id",
+        (
+            _dot(F.col("vvec"), F.col("cvec"))
+            / F.greatest(F.col("vnorm") * F.col("cnorm"), F.lit(1e-12))
+        ).alias("cos"),
+    )
+    return scored.groupBy("id").agg(
+        F.min_by(
+            "centroid_id", F.struct(-F.col("cos"), F.col("centroid_id"))
+        ).alias("centroid_id")
+    )

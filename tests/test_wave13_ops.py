@@ -1,0 +1,125 @@
+"""Wave-13: centroid assignment (k-means E-step) and PSI drift."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------- centroid assignment
+def test_assign_to_centroids_vs_numpy(spark):
+    from parallel_pagerank_spark.functions.similarity import (
+        assign_to_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype(float)
+    cents = rng.randn(4, 8).astype(float)
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(cents)],
+        "centroid_id long, embedding array<double>",
+    )
+    got = {
+        r["id"]: r["centroid_id"]
+        for r in assign_to_centroids(vdf, cdf).collect()
+    }
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cos = vn @ cn.T
+    want = {i: int(np.argmax(cos[i])) for i in range(60)}
+    assert got == want
+
+
+def test_assign_to_centroids_lloyd_iteration(spark):
+    """assign (E-step) + embedding_centroids (M-step) = one Lloyd
+    round: centroids move toward their assigned clusters."""
+    from parallel_pagerank_spark.functions.similarity import (
+        assign_to_centroids,
+        embedding_centroids,
+    )
+
+    # two well-separated blobs around +e1 and -e1
+    rng = np.random.RandomState(3)
+    blob_a = rng.randn(20, 4) * 0.05 + np.array([5.0, 0, 0, 0])
+    blob_b = rng.randn(20, 4) * 0.05 + np.array([-5.0, 0, 0, 0])
+    vecs = np.vstack([blob_a, blob_b])
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0, 0.0]), (1, [-1.0, 0.1, 0.0, 0.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    assign = assign_to_centroids(vdf, cdf)
+    labeled = vdf.join(
+        assign.withColumnRenamed("id", "vec_id"), "vec_id"
+    ).select("vec_id", "embedding", F.col("centroid_id").alias("label"))
+    # perfect separation
+    got = {r["vec_id"]: r["label"] for r in labeled.collect()}
+    assert all(got[i] == 0 for i in range(20))
+    assert all(got[i] == 1 for i in range(20, 40))
+    # M-step: dim-0 centroid means land on the blob centers
+    cents = {
+        (r["group"], r["pos"]): r["centroid_val"]
+        for r in embedding_centroids(labeled).collect()
+    }
+    assert abs(cents[(0, 0)] - 5.0) < 0.1
+    assert abs(cents[(1, 0)] + 5.0) < 0.1
+
+
+# ------------------------------------------------------------ PSI drift
+def test_distribution_drift_vs_python(spark):
+    from parallel_pagerank_spark.functions.profile import (
+        distribution_drift,
+    )
+
+    a_vals = [10, 12, 15, 20, 22, 25, 30, 35, 40, 45]
+    b_vals = [30, 32, 35, 40, 42, 45, 48, 50, 50, 49, 47]
+    a = spark.createDataFrame([(v,) for v in a_vals], "n long")
+    b = spark.createDataFrame([(v,) for v in b_vals], "n long")
+    B = 5
+    out = {r["bucket"]: r for r in distribution_drift(a, b, "n", B).collect()}
+    lo, hi = 10, 50
+    span = hi - lo + 1
+
+    def bucket(v):
+        return (v - lo) * B // span
+
+    ca = [0] * B
+    cb = [0] * B
+    for v in a_vals:
+        ca[bucket(v)] += 1
+    for v in b_vals:
+        cb[bucket(v)] += 1
+    assert set(out) == set(range(B))
+    psi = 0.0
+    for i in range(B):
+        assert out[i]["a_n"] == ca[i]
+        assert out[i]["b_n"] == cb[i]
+        p = (ca[i] + 0.5) / (len(a_vals) + 0.5 * B)
+        q = (cb[i] + 0.5) / (len(b_vals) + 0.5 * B)
+        term = (p - q) * math.log(p / q)
+        assert abs(out[i]["psi_term"] - term) < 1e-12
+        psi += term
+    # b is visibly shifted right of a
+    assert psi > 0.25
+
+
+def test_distribution_drift_identical_slices_near_zero(spark):
+    from parallel_pagerank_spark.functions.profile import (
+        distribution_drift,
+    )
+
+    a = spark.range(100).select((F.col("id") % 37).alias("n"))
+    out = distribution_drift(a, a, "n", 10).collect()
+    assert sum(r["psi_term"] for r in out) == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError):
+        distribution_drift(a, a, "n", 1)
