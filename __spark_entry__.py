@@ -1474,6 +1474,21 @@ def _q_drift_nchars(spark, sf_dir):
     )
 
 
+def _q_safe_split(spark, sf_dir):
+    """Leakage-safe dataset split (functions/decontam.py
+    leakage_safe_split): near-dup clusters (the hash-checked
+    near_dup_clusters chain) move through train/valid/test as single
+    units — every doc splits on anchor = cluster_id (own id when
+    unclustered), so the contamination test_containment flags cannot be
+    introduced by the split itself. All-string/integer, hash-exact."""
+    from parallel_pagerank_spark.functions.decontam import (
+        leakage_safe_split,
+    )
+
+    out = leakage_safe_split(_documents(spark, sf_dir), threshold=0.9)
+    return out.select("doc_id", "anchor", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_reply": _q_edges_reply,
@@ -1565,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": _q_boilerplate,
         "cluster_assign": _q_cluster_assign,
         "drift_nchars": _q_drift_nchars,
+        "safe_split": _q_safe_split,
     }
 
 
@@ -2201,13 +2217,17 @@ jpairs AS MATERIALIZED (
   WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.9)"""
 
 
-def _near_dup_clusters_sql(rounds: int = 6) -> str:
+def _near_dup_clusters_sql(
+    rounds: int = 6, final_select: str | None = None
+) -> str:
     """Jaccard pair CTE + unrolled synchronous min-label propagation over
     the undirected pair graph (functions/dedup.near_dup_clusters
     semantics). Measured cluster eccentricity from the min vertex is 1
     at both gate SFs; {rounds} unrolled rounds is the safety margin —
     fixpoints are stable under extra rounds, an insufficient depth
-    surfaces as a value mismatch, never a silent wrong-match."""
+    surfaces as a value mismatch, never a silent wrong-match.
+    ``final_select`` (referencing the label CTE ``l{rounds}``) lets the
+    leakage-safe-split oracle reuse the chain."""
     parts = [f"""WITH {_JACCARD_PAIRS_CTE},
 sym AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM jpairs
@@ -2225,7 +2245,11 @@ l{k} AS MATERIALIZED (
   GROUP BY l.id, l.label)""")
         prev = f"l{k}"
     parts.append(
-        f"\nSELECT id AS doc_id, label AS cluster_id FROM {prev}"
+        "\n" + (
+            final_select.replace("lN", prev)
+            if final_select
+            else f"SELECT id AS doc_id, label AS cluster_id FROM {prev}"
+        )
     )
     return "".join(parts)
 
@@ -2750,6 +2774,7 @@ SELECT id, centroid_id FROM (
 WHERE rn = 1
 """,
         "drift_nchars": _drift_sql(10),
+        "safe_split": _safe_split_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3014,6 +3039,19 @@ a{r} AS MATERIALIZED (
 m{r} AS (SELECT id FROM m{r - 1} UNION ALL SELECT id FROM w{r})""")
     parts.append(f"\nSELECT id FROM m{rounds}")
     return "".join(parts)
+
+
+def _safe_split_sql() -> str:
+    from parallel_pagerank_spark.functions.splits import split_case_sql
+
+    anchor = "coalesce(lab.label, d.doc_id)"
+    return _near_dup_clusters_sql(
+        final_select=(
+            f"SELECT d.doc_id, {anchor} AS anchor, "
+            f"{split_case_sql(anchor)} AS split "
+            f"FROM documents d LEFT JOIN lN lab ON lab.id = d.doc_id"
+        )
+    )
 
 
 def _drift_sql(n_buckets: int) -> str:

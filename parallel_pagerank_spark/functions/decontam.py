@@ -165,3 +165,55 @@ def ngram_containment(
             .alias("containment"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits=None,
+    salt: int = 0,
+) -> DataFrame:
+    """Dataset split that near-duplicates can never straddle.
+
+    Plain per-doc splitting (functions/splits.assign_split) leaks: two
+    near-duplicate documents hash independently, so one can land in
+    train and its twin in test — exactly the contamination
+    :func:`ngram_contamination` later flags. This composes the two
+    existing primitives so the leak cannot happen by construction:
+
+    1. near-dup CLUSTERS (functions/dedup.near_dup_clusters — exact
+       Jaccard pairs → connected components, cluster_id = min doc id),
+    2. every document splits on its ``anchor`` = cluster_id (own id
+       when unclustered), so a whole cluster moves as one unit.
+
+    Returns the input columns plus ``anchor`` and ``split``. Properties
+    inherited from the portable hash: deterministic on any cluster,
+    monotone split growth, salt re-deal — now at cluster granularity.
+
+    Scale shape: the clustering is the prefix-filtered Jaccard join +
+    pair-graph components (both bucketed — no all-pairs work); the
+    anchor join keys on the doc id; the split itself stays a pure
+    Column expression.
+    """
+    from .dedup import near_dup_clusters
+    from .splits import DEFAULT_SPLITS, assign_split
+
+    clusters = near_dup_clusters(docs, threshold, id_col, text_col, n)
+    anchored = docs.join(
+        clusters.select(
+            F.col("doc_id").alias(id_col), F.col("cluster_id")
+        ),
+        id_col,
+        "left",
+    ).withColumn(
+        "anchor", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    ).drop("cluster_id")
+    return assign_split(
+        anchored,
+        id_col="anchor",
+        splits=splits or DEFAULT_SPLITS,
+        salt=salt,
+    )

@@ -123,3 +123,51 @@ def test_distribution_drift_identical_slices_near_zero(spark):
     assert sum(r["psi_term"] for r in out) == pytest.approx(0.0, abs=1e-12)
     with pytest.raises(ValueError):
         distribution_drift(a, a, "n", 1)
+
+
+# ------------------------------------------------- leakage-safe splits
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from parallel_pagerank_spark.functions.decontam import (
+        leakage_safe_split,
+    )
+    from parallel_pagerank_spark.functions.splits import assign_split
+
+    # 40 genuinely distinct docs (disjoint char-shingle vocabularies —
+    # the Jaccard join shingles CHARACTERS, so texts must differ in
+    # bulk content, not just a numeral) + two exact-copy families
+    uniq = [
+        (i, " ".join(f"w{i}q{j}zx{i * 7 + j}ky" for j in range(10)))
+        for i in range(40)
+    ]
+    fam_a = [
+        (100 + j, "the quick brown fox jumps over the lazy dog near "
+                  "the river bank every single morning")
+        for j in range(6)
+    ]
+    fam_b = [
+        (200 + j, "pack my box with five dozen liquor jugs before "
+                  "the long journey across the desert")
+        for j in range(6)
+    ]
+    docs = spark.createDataFrame(
+        uniq + fam_a + fam_b, "doc_id long, text string"
+    )
+    out = leakage_safe_split(docs, threshold=0.8)
+    rows = {r["doc_id"]: (r["anchor"], r["split"]) for r in out.collect()}
+    assert len(rows) == 52
+    # every family shares one anchor (= min id) and ONE split
+    for base in (100, 200):
+        anchors = {rows[base + j][0] for j in range(6)}
+        splits_ = {rows[base + j][1] for j in range(6)}
+        assert anchors == {base}
+        assert len(splits_) == 1
+    # unclustered docs anchor to themselves and match plain assign_split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(
+            spark.createDataFrame(uniq, "doc_id long, text string")
+        ).collect()
+    }
+    for i, _ in uniq:
+        assert rows[i][0] == i
+        assert rows[i][1] == plain[i]
