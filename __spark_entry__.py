@@ -1490,7 +1490,56 @@ def _q_safe_split(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate records the FIRST ~50
+    # dict entries only (r1: 25, r2: 32, r3: 50).  Rounds 1-3 covered the
+    # original waves 1-2 surface with green hash rows; round 4 rotates the
+    # 40 wave-3..13 queries (walks8 .. safe_split, never reached by the
+    # driver window) to the FRONT so they finally get driver-side hash rows.
+    # The rotated-out veterans keep full coverage via tools/check_oracles.py
+    # (run each round, log committed under BENCH/) and the pytest suite.
     return {
+        "walks8": _q_walks8,
+        "walk_transitions": _q_walk_transitions,
+        "nbhd_sketch4": _q_nbhd_sketch4,
+        "nbhd_growth8": _q_nbhd_growth8,
+        "katz20": _q_katz20,
+        "landmark_dist4": _q_landmark_dist4,
+        "harmonic4": _q_harmonic4,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "doc_repetition": _q_doc_repetition,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "modularity_lpa5": _q_modularity_lpa5,
+        "powerlaw_alpha": _q_powerlaw_alpha,
+        "doc_profile": _q_doc_profile,
+        "k_truss3": _q_k_truss3,
+        "pr_convergence10": _q_pr_convergence10,
+        "emb_quantize": _q_emb_quantize,
+        "dataset_split": _q_dataset_split,
+        "bigram_lift": _q_bigram_lift,
+        "scc": _q_scc,
+        "scc_dag": _q_scc_dag,
+        "doc_quantiles": _q_doc_quantiles,
+        "pseudo_diameter": _q_pseudo_diameter,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "doc_entropy": _q_doc_entropy,
+        "topo_levels": _q_topo_levels,
+        "subgraph_sample": _q_subgraph_sample,
+        "quality_filter": _q_quality_filter,
+        "windowed_counts": _q_windowed_counts,
+        "test_containment": _q_test_containment,
+        "mis": _q_mis,
+        "quotient_lpa5": _q_quotient_lpa5,
+        "sample_k": _q_sample_k,
+        "sample_k_per_lang": _q_sample_k_per_lang,
+        "funnel": _q_funnel,
+        "boilerplate": _q_boilerplate,
+        "cluster_assign": _q_cluster_assign,
+        "drift_nchars": _q_drift_nchars,
+        "safe_split": _q_safe_split,
+        # --- rotated-out veterans (driver-green rounds 1-3; still verified
+        # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
         "edges_handoff": _q_edges_handoff,
         "out_degree": _q_out_degree,
@@ -1541,46 +1590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "cocitation": _q_cocitation,
         "coupling": _q_coupling,
-        "walks8": _q_walks8,
-        "walk_transitions": _q_walk_transitions,
-        "nbhd_sketch4": _q_nbhd_sketch4,
-        "nbhd_growth8": _q_nbhd_growth8,
-        "katz20": _q_katz20,
-        "landmark_dist4": _q_landmark_dist4,
-        "harmonic4": _q_harmonic4,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "doc_repetition": _q_doc_repetition,
-        "top_docs_per_lang": _q_top_docs_per_lang,
-        "modularity_lpa5": _q_modularity_lpa5,
-        "powerlaw_alpha": _q_powerlaw_alpha,
-        "doc_profile": _q_doc_profile,
-        "k_truss3": _q_k_truss3,
-        "pr_convergence10": _q_pr_convergence10,
-        "emb_quantize": _q_emb_quantize,
-        "dataset_split": _q_dataset_split,
-        "bigram_lift": _q_bigram_lift,
-        "scc": _q_scc,
-        "scc_dag": _q_scc_dag,
-        "doc_quantiles": _q_doc_quantiles,
-        "pseudo_diameter": _q_pseudo_diameter,
-        "stratified_sample": _q_stratified_sample,
-        "decontaminate": _q_decontaminate,
-        "doc_entropy": _q_doc_entropy,
-        "topo_levels": _q_topo_levels,
-        "subgraph_sample": _q_subgraph_sample,
-        "quality_filter": _q_quality_filter,
-        "windowed_counts": _q_windowed_counts,
-        "test_containment": _q_test_containment,
-        "mis": _q_mis,
-        "quotient_lpa5": _q_quotient_lpa5,
-        "sample_k": _q_sample_k,
-        "sample_k_per_lang": _q_sample_k_per_lang,
-        "funnel": _q_funnel,
-        "boilerplate": _q_boilerplate,
-        "cluster_assign": _q_cluster_assign,
-        "drift_nchars": _q_drift_nchars,
-        "safe_split": _q_safe_split,
     }
 
 
@@ -3067,8 +3076,9 @@ bounds AS (
   WHERE split IN ('train', 'test')),
 bk AS (
   SELECT split,
-         CAST(floor((n_chars - bounds.lo) * {b}
-                    / (bounds.hi - bounds.lo + 1)) AS BIGINT) AS bucket
+         least(CAST((n_chars - bounds.lo) * {b}
+                    // (bounds.hi - bounds.lo + 1) AS BIGINT),
+               {b - 1}) AS bucket
   FROM s, bounds WHERE split IN ('train', 'test')),
 ca AS (SELECT bucket, count(*) AS a_n FROM bk WHERE split = 'train' GROUP BY 1),
 cb AS (SELECT bucket, count(*) AS b_n FROM bk WHERE split = 'test' GROUP BY 1),

@@ -202,10 +202,10 @@ def leakage_safe_split(
     from .splits import DEFAULT_SPLITS, assign_split
 
     clusters = near_dup_clusters(docs, threshold, id_col, text_col, n)
+    # near_dup_clusters already names its id column `id_col` — selecting it
+    # by that name keeps non-default id_col values working.
     anchored = docs.join(
-        clusters.select(
-            F.col("doc_id").alias(id_col), F.col("cluster_id")
-        ),
+        clusters.select(F.col(id_col), F.col("cluster_id")),
         id_col,
         "left",
     ).withColumn(

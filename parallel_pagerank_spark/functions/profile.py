@@ -153,10 +153,14 @@ def distribution_drift(
     and snapshot ``b``? PSI = Σ_i (p_i − q_i)·ln(p_i/q_i); rule of
     thumb: < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted.
 
-    Buckets are EQUAL-WIDTH integer ranges over the combined min..max
-    (pure int64 arithmetic: ``(v − min)·B ÷ (max − min + 1)``), so the
-    bucketing is bit-identical on any engine — no quantile estimation,
-    no float boundaries. Proportions are Laplace-smoothed
+    Buckets are EQUAL-WIDTH integer ranges over the combined min..max,
+    computed with TRUE integer division (``(v − min)·B div (max − min
+    + 1)``, SQL ``div`` / DuckDB ``//``) and clamped to ``B − 1`` — so
+    the bucketing is bit-identical on any engine that mirrors the same
+    int64 expression, with no float boundaries. (The clamp is a guard
+    against int64 overflow of ``(v − min)·B`` on pathological ranges;
+    within-range inputs never produce bucket == B under integer
+    division.) Proportions are Laplace-smoothed
     ((c + 0.5) / (n + B/2)) so empty buckets contribute finite terms.
     Returns one row per bucket: ``(bucket, a_n, b_n, psi_term)`` —
     Σ psi_term is the PSI, left to the caller so every emitted float is
@@ -182,14 +186,18 @@ def distribution_drift(
     span = hi - lo + 1
 
     def bucketed(df: DataFrame, name: str) -> DataFrame:
-        bucket = (
-            (F.col(value_col).cast("long") - F.lit(lo))
-            * F.lit(n_buckets)
-            / F.lit(span)
-        ).cast("long")
+        num = (F.col(value_col).cast("long") - F.lit(lo)) * F.lit(
+            n_buckets
+        )
         return (
             df.filter(F.col(value_col).isNotNull())
-            .select(bucket.alias("bucket"))
+            .select(num.alias("__num"))
+            .select(
+                F.least(
+                    F.expr(f"__num div {span}"),
+                    F.lit(n_buckets - 1).cast("long"),
+                ).alias("bucket")
+            )
             .groupBy("bucket")
             .agg(F.count("*").alias(name))
         )

@@ -54,6 +54,12 @@ def split_bucket_sql(id_expr: str, salt: int = 0) -> str:
     )
 
 
+def _sql_str(name: str) -> str:
+    """A string literal safe to interpolate into generated SQL
+    (single quotes doubled per ANSI)."""
+    return "'" + name.replace("'", "''") + "'"
+
+
 def assign_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,9 +102,14 @@ def split_case_sql(
     arms = []
     for name, frac in splits[:-1]:
         acc += frac
-        arms.append(f"WHEN {bucket} < {int(acc * _M)} THEN '{name}'")
+        arms.append(
+            f"WHEN {bucket} < {int(acc * _M)} THEN {_sql_str(name)}"
+        )
+    if not arms:
+        return _sql_str(splits[-1][0])
     return (
-        "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+        "CASE " + " ".join(arms)
+        + f" ELSE {_sql_str(splits[-1][0])} END"
     )
 
 
@@ -151,13 +162,21 @@ def stratified_sample_sql(
     default_rate: float = 0.0,
     salt: int = 0,
 ) -> str:
-    """WHERE-clause predicate mirroring :func:`stratified_sample`."""
+    """WHERE-clause predicate mirroring :func:`stratified_sample`.
+
+    Stratum names are escaped (quotes doubled); an empty ``rates``
+    degenerates to the bare default bound rather than an invalid
+    zero-arm CASE — both mirroring :func:`stratified_sample`.
+    """
     bucket = split_bucket_sql(id_expr, salt=salt)
+    default_bound = int(default_rate * _M)
+    if not rates:
+        return f"({bucket}) < {default_bound}"
     arms = " ".join(
-        f"WHEN {strata_expr} = '{name}' THEN {int(rate * _M)}"
+        f"WHEN {strata_expr} = {_sql_str(name)} THEN {int(rate * _M)}"
         for name, rate in rates.items()
     )
-    return f"({bucket}) < (CASE {arms} ELSE {int(default_rate * _M)} END)"
+    return f"({bucket}) < (CASE {arms} ELSE {default_bound} END)"
 
 
 def sample_fixed_k(

@@ -217,6 +217,23 @@ def test_components_fast_path_parity(spark, edges, n):
     assert res2.mode == "vectorized"
 
 
+def test_components_fast_path_honors_max_iter(spark):
+    """Contract: the vectorized CC tier caps at max_iter exactly like
+    the distributed loop — converged=False, supersteps == cap, and a
+    metrics row per round (ADVICE r3 residual)."""
+    # a long path needs ~log2(len) hook+double-compress rounds; cap at 1
+    path = [(i, i + 1) for i in range(64)]
+    df = edges_df(spark, path)
+    res = connected_components(df, max_iter=1)
+    assert res.mode == "vectorized"
+    assert not res.converged
+    assert res.supersteps == 1
+    assert len(res.metrics) == 1 and res.metrics[0]["changed"] > 0
+    # and with room to run, the same routing converges exactly
+    full = connected_components(df, max_iter=50)
+    assert full.converged and full.supersteps <= 50
+
+
 @pytest.mark.parametrize(
     "edges,n", [(SMALL_GRAPH, 4), (TWO_COMPONENTS, 7), (STAR, 20)]
 )

@@ -171,3 +171,27 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     for i, _ in uniq:
         assert rows[i][0] == i
         assert rows[i][1] == plain[i]
+
+
+def test_leakage_safe_split_non_default_id_col(spark):
+    """ADVICE r3: id_col other than "doc_id" must work — the cluster
+    re-select previously hardcoded doc_id and raised AnalysisException."""
+    from parallel_pagerank_spark.functions.decontam import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pack my box with five dozen liquor jugs before dawn"),
+            (2, "pack my box with five dozen liquor jugs before dawn"),
+            (3, "entirely different words about mountains and weather"),
+        ],
+        "id long, body string",
+    )
+    out = leakage_safe_split(
+        docs, threshold=0.8, id_col="id", text_col="body"
+    )
+    rows = {r["id"]: (r["anchor"], r["split"]) for r in out.collect()}
+    assert rows[1][0] == rows[2][0] == 1
+    assert rows[1][1] == rows[2][1]
+    assert rows[3][0] == 3

@@ -104,6 +104,56 @@ def test_stratified_sample_sql_mirror(spark):
     assert got == want
 
 
+def test_stratified_sample_sql_empty_rates_and_quoting():
+    """ADVICE r3: empty rates must emit a valid bare bound (no zero-arm
+    CASE) and stratum names with quotes must be escaped, mirroring the
+    engine side which handles both."""
+    import duckdb
+
+    from parallel_pagerank_spark.functions.splits import (
+        _M,
+        stratified_sample_sql,
+    )
+
+    # empty rates -> bare default bound, parseable SQL
+    pred = stratified_sample_sql("i", "g", {}, default_rate=0.5)
+    assert "CASE" not in pred
+    n = duckdb.sql(
+        "SELECT count(*) FROM (SELECT unnest(generate_series(0, 999)) "
+        f"AS i), LATERAL (SELECT 'x' AS g) WHERE {pred}"
+    ).fetchone()[0]
+    assert 0 < n < 1000
+    # a stratum name containing a single quote must not break the SQL
+    pred2 = stratified_sample_sql("i", "g", {"o'brien": 1.0})
+    got = duckdb.sql(
+        "SELECT count(*) FROM (SELECT unnest(generate_series(0, 99)) "
+        f"AS i), LATERAL (SELECT 'o''brien' AS g) WHERE {pred2}"
+    ).fetchone()[0]
+    assert got == 100
+    assert str(_M) in pred2
+
+
+def test_split_case_sql_single_split_and_quoting():
+    import duckdb
+
+    from parallel_pagerank_spark.functions.splits import split_case_sql
+
+    # single split -> bare literal, no CASE
+    expr = split_case_sql("i", splits=(("all", 1.0),))
+    assert expr == "'all'"
+    # quoted split names survive
+    expr2 = split_case_sql("i", splits=(("tr'n", 0.5), ("te'st", 0.5)))
+    vals = {
+        r[0]
+        for r in duckdb.sql(
+            "SELECT DISTINCT "
+            + expr2
+            + " FROM (SELECT unnest(generate_series(0, 199)) AS i)"
+        ).fetchall()
+    }
+    assert vals <= {"tr'n", "te'st"} and len(vals) == 2
+
+
 # --------------------------------------------- n-gram decontamination
 def _ngrams_py(text: str, n: int) -> set[str]:
     toks = text.lower().split()
