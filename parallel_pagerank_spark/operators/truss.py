@@ -1,29 +1,38 @@
-"""k-truss decomposition by synchronous support peeling.
+"""k-truss decomposition by synchronous support peeling with
+INCREMENTAL support maintenance.
 
 No reference counterpart; standard published definition (Cohen 2008,
 "Trusses: cohesive subgraphs for social network analysis"; distributed
 algorithms in Wang & Cheng, VLDB 2012): the k-truss is the maximal
 subgraph in which every edge participates in at least k-2 triangles
 *within the subgraph*. Computed by synchronous peeling — repeat
-{ count per-edge triangle support; drop edges with support < k-2 }
-until no edge drops. A peeled edge can lower its neighbors' support,
-so peeling cascades; the fixpoint is unique (truss containment is
-monotone under edge deletion), which also makes a fixed-depth unrolled
-SQL oracle exact whenever it runs past the measured convergence round.
+{ drop edges with support < k-2; subtract the support those edges'
+triangles carried } until no edge drops. The fixpoint is unique
+(truss containment is monotone under edge deletion), which also makes
+a fixed-depth unrolled SQL oracle exact whenever it runs past the
+measured convergence round.
 
-Superstep shape (scale design): triangles are enumerated ONCE per round
-as ordered wedges joined against the closing edge — every triangle
-a<b<c appears exactly once because all three edges are canonical
-(u < v), so support counting needs no dedup. Two hash joins + one
-aggregation per round, all keyed on edge endpoints; the current edge
-set is materialized AND lineage-truncated per round with an eager
-localCheckpoint (the loop references it four times — three wedge sides
-plus the survival join — so an un-truncated plan grows ~4^rounds; the
-plan-doubling hazard documented at operators/pagerank.py:26-31). For hub-skewed graphs the wedge join is
-the classic candidate for degree orientation (enumerate from the
-lower-degree endpoint, triangles.py:34 does this for counting); the
-ordered a<b<c form used here keeps support attribution trivially
-exact and is the same plan the oracle mirrors.
+Superstep shape (scale design): triangles are enumerated in FULL
+exactly ONCE, up front — every triangle a<b<c appears exactly once
+because all three edges are canonical (u < v), so support counting
+needs no dedup. Each peeling round after that is FRONTIER-PROPORTIONAL
+(the r3 verdict's scale fix): only triangles touching a dropped edge
+are re-derived, by joining the dropped set D against the current edge
+set on each of the three sides (|D| × adjacency work, never a second
+full wedge enumeration), deduped per triangle so a triangle losing two
+edges in one round still decrements its surviving side exactly once.
+Support is then maintained by subtraction — an anti-join removes D, a
+left join applies the decrements. All joins are keyed on edge
+endpoints; the per-round state (edge set + support) is materialized
+AND lineage-truncated with an eager localCheckpoint (the loop
+references it five times — three triangle sides, the anti-join, and
+the decrement join — so an un-truncated plan grows geometrically; the
+plan-doubling hazard documented at operators/pagerank.py:26-31).
+For hub-skewed graphs the initial wedge join is the classic candidate
+for degree orientation (enumerate from the lower-degree endpoint,
+triangles.py:34 does this for counting); the ordered a<b<c form used
+here keeps support attribution trivially exact and is the same plan
+the oracle mirrors.
 """
 
 from __future__ import annotations
@@ -39,11 +48,16 @@ class TrussResult:
     rounds: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    # number of FULL triangle enumerations performed (scale contract:
+    # exactly 1 regardless of peel depth — pinned by test_plan_shape)
+    full_enumerations: int = 0
 
 
 def _support(cur: DataFrame) -> DataFrame:
     """Per-edge triangle support over a canonical (u < v) edge set.
-    Edges in no triangle get NO row (support 0)."""
+    Edges in no triangle get NO row (support 0). This is the one FULL
+    enumeration; every subsequent round re-derives only the dropped
+    frontier's triangles (see _dropped_triangles)."""
     ab = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -54,6 +68,29 @@ def _support(cur: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
     )
     return sides.groupBy("u", "v").agg(F.count("*").alias("support"))
+
+
+def _dropped_triangles(cur: DataFrame, drop: DataFrame) -> DataFrame:
+    """Distinct triangles (a < b < c) over edge set ``cur`` that contain
+    at least one edge of ``drop`` (a subset of cur). Each of the three
+    sides takes a turn being the dropped one; the union is deduped so a
+    triangle with 2-3 dropped sides appears once. Frontier-proportional:
+    every join has the dropped set as one side."""
+    ab = cur.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = cur.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = cur.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    d_ab = drop.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    d_bc = drop.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    d_ac = drop.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    t1 = d_ab.join(bc, "b").join(ac, ["a", "c"])
+    t2 = ab.join(d_bc, "b").join(ac, ["a", "c"])
+    t3 = ab.join(bc, "b").join(d_ac, ["a", "c"])
+    return (
+        t1.select("a", "b", "c")
+        .unionAll(t2.select("a", "b", "c"))
+        .unionAll(t3.select("a", "b", "c"))
+        .distinct()
+    )
 
 
 def k_truss(
@@ -83,31 +120,66 @@ def k_truss(
         .repartition(num_parts, "u")
         .localCheckpoint(eager=True)
     )
-    n_cur = cur.count()
+    # one full enumeration; support carried as maintained state from here
+    sup = (
+        cur.join(_support(cur), ["u", "v"], "left")
+        .select(
+            "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        .repartition(num_parts, "u")
+        .localCheckpoint(eager=True)
+    )
+    full_enums = 1
+    n_cur = sup.count()
     metrics: list[dict] = [{"round": 0, "edges": n_cur}]
     rounds = 0
-    converged = n_cur == 0
-    sup = None
-    while rounds < max_rounds and not converged:
+    converged = False
+    thresh = k - 2
+    while True:
+        drop = sup.filter(F.col("support") < thresh).select("u", "v")
+        n_drop = drop.count()
+        if n_drop == 0:
+            converged = True
+            break
+        if rounds >= max_rounds:
+            break
         rounds += 1
-        sup = _support(cur)
+        cur = sup.select("u", "v")
+        tri_d = _dropped_triangles(cur, drop)
+        # decrements: each dropped triangle subtracts 1 from each of its
+        # SURVIVING sides (sides that are themselves dropping carry no
+        # support forward — the anti-join below removes them anyway)
+        sides = (
+            tri_d.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(
+                tri_d.select(F.col("b").alias("u"), F.col("c").alias("v"))
+            )
+            .unionAll(
+                tri_d.select(F.col("a").alias("u"), F.col("c").alias("v"))
+            )
+        )
+        dec = sides.groupBy("u", "v").agg(F.count("*").alias("lost"))
         # eager localCheckpoint: materializes and truncates lineage so the
         # next round plans from a flat LogicalRDD (see module docstring)
-        nxt = (
-            cur.join(sup.filter(F.col("support") >= k - 2), ["u", "v"])
-            .select("u", "v")
+        sup = (
+            sup.join(drop, ["u", "v"], "left_anti")
+            .join(dec, ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                (
+                    F.col("support") - F.coalesce("lost", F.lit(0))
+                ).alias("support"),
+            )
             .repartition(num_parts, "u")
             .localCheckpoint(eager=True)
         )
-        n_nxt = nxt.count()
-        cur = nxt  # old checkpoint RDDs are released by the ContextCleaner
-        metrics.append({"round": rounds, "edges": n_nxt})
-        if n_nxt == n_cur:
-            converged = True
+        n_nxt = sup.count()
+        metrics.append(
+            {"round": rounds, "edges": n_nxt, "dropped": n_drop}
+        )
         n_cur = n_nxt
-    # final per-edge support within the settled truss (recomputed once so
-    # the reported support reflects the SUBGRAPH, not the input graph)
-    out = cur.join(_support(cur), ["u", "v"], "left").select(
-        "u", "v", F.coalesce("support", F.lit(0)).alias("support")
-    )
-    return TrussResult(out, rounds, converged, metrics)
+    # maintained support IS the within-subgraph support at the fixpoint
+    # (induction: full enumeration at round 0, exact decrements since) —
+    # no final recomputation needed; parity tests compare both.
+    return TrussResult(sup, rounds, converged, metrics, full_enums)

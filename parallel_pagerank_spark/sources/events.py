@@ -10,6 +10,8 @@ Vertex id = event_id (already a dense-ish long key).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -167,30 +169,62 @@ def funnel_counts(
 
     Strictly-after uses the raw timestamp only; two events sharing an
     identical timestamp cannot witness consecutive steps (deterministic
-    and engine-portable — no tie-break heuristics). Each stage is one
-    filtered aggregation keyed on the user plus a broadcast-size join
-    against the previous stage's per-user times; per-user state is one
-    timestamp per step, so the plan is |steps| hash aggregations over
-    one scan each — no window sort, no per-user event arrays (a 10^6-
-    event power user costs the same as anyone else per stage).
+    and engine-portable — no tie-break heuristics).
+
+    Plan shape (100 TB): `events` is scanned ONCE — pre-filtered to
+    `type_col IN steps` (pushed to the parquet scan) and persisted; each
+    stage is a hash aggregation keyed on the user plus an equi-join
+    against the previous stage's per-user times. That join side is
+    O(active users) — NOT broadcast-size in general; Spark picks a
+    shuffle join at scale, which is the right plan. Per-user state is
+    one timestamp per step; no window sort, no per-user event arrays (a
+    10^6-event power user costs the same as anyone else per stage).
+    Each stage is persisted so the single final action computes every
+    stage exactly once (stage i feeds both stage i+1 and its own count
+    row); nothing runs on the driver until the caller's action.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
     spark = events.sparkSession
-    prev = None  # DataFrame[user, t_prev]
-    rows = []
-    for i, step in enumerate(steps):
-        stage = events.filter(F.col(type_col) == step).select(
-            F.col(user_col).alias("user"), F.col(ts_col).alias("t")
+    relevant = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(type_col).alias("etype"),
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("t"),
         )
+        .persist()
+    )
+    prev = None  # DataFrame[user, t_prev]
+    per_step = []
+    for i, step in enumerate(steps):
+        stage = relevant.filter(F.col("etype") == step).select("user", "t")
         if prev is not None:
             stage = stage.join(prev, "user").filter(
                 F.col("t") > F.col("t_prev")
             )
-        cur = stage.groupBy("user").agg(F.min("t").alias("t_prev"))
-        cur = cur.localCheckpoint(eager=True)
-        rows.append((i + 1, step, cur.count()))
+        cur = stage.groupBy("user").agg(F.min("t").alias("t_prev")).persist()
+        per_step.append(
+            cur.select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+            )
+        )
         prev = cur
-    return spark.createDataFrame(
-        rows, "step_idx int, step string, n_users long"
+    counted = reduce(DataFrame.unionByName, per_step).groupBy(
+        "step_idx", "step"
+    ).agg(F.count("*").alias("n_users"))
+    # a step no user reaches would vanish from the groupBy — left join
+    # against the (tiny, broadcast) step list restores its 0 row
+    step_list = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step_idx int, step string",
+    )
+    return (
+        step_list.join(F.broadcast(counted), ["step_idx", "step"], "left")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+        )
     )

@@ -359,3 +359,30 @@ def test_mis_and_topo_truncate_lineage():
     scc_src = (ops / "scc.py").read_text()
     topo = scc_src[scc_src.index("def topological_levels") :]
     assert "localCheckpoint(eager=True)" in topo
+
+
+def test_k_truss_single_full_enumeration(spark, monkeypatch):
+    """r3 verdict scale fix: peeling must enumerate the FULL wedge set
+    exactly once; every subsequent round derives only the dropped
+    frontier's triangles (support maintained by subtraction). A cascade
+    graph forces >= 2 peel rounds; _support may still run only once and
+    no final recomputation is allowed either."""
+    from parallel_pagerank_spark.operators import truss
+
+    calls = {"full": 0}
+    real_support = truss._support
+
+    def counting_support(cur):
+        calls["full"] += 1
+        return real_support(cur)
+
+    monkeypatch.setattr(truss, "_support", counting_support)
+    # triangle strip: peeling the (2,4),(3,4) end at k=4 cascades
+    strip = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(strip, "src long, dst long")
+    res = truss.k_truss(df, k=4)
+    res.truss_edges.collect()
+    assert res.converged
+    assert res.rounds >= 2, "cascade case must take multiple peels"
+    assert calls["full"] == 1
+    assert res.full_enumerations == 1

@@ -111,6 +111,31 @@ def test_funnel_counts_validates_and_monotone(spark):
     assert ns == [1, 0]
 
 
+def test_funnel_counts_is_lazy_single_action(spark):
+    """r3 rework: funnel_counts itself must fire ZERO Spark jobs (the
+    old shape ran a blocking count + eager localCheckpoint per stage);
+    all work happens under the caller's one action."""
+    from parallel_pagerank_spark.sources.events import funnel_counts
+
+    ev = spark.createDataFrame(
+        [(1, _t(0), "view"), (1, _t(1), "click")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    sc = spark.sparkContext
+    group = "funnel-laziness-probe"
+    sc.setJobGroup(group, "probe")
+    try:
+        df = funnel_counts(ev, ["view", "click"])
+        assert sc.statusTracker().getJobIdsForGroup(group) == []
+        rows = df.collect()
+        assert len(sc.statusTracker().getJobIdsForGroup(group)) >= 1
+    finally:
+        sc.setJobGroup("", "")
+    assert {(r["step"], r["n_users"]) for r in rows} == {
+        ("view", 1), ("click", 1),
+    }
+
+
 # ------------------------------------------------- boilerplate passages
 def test_repeated_passages_vs_hand(spark):
     from parallel_pagerank_spark.functions.text import repeated_passages
