@@ -1,11 +1,16 @@
-"""Zero-dependency media codecs: PPM (P6) / BMP (24-bit) images and PCM
-WAV audio, encoded/decoded with numpy + the Python stdlib only.
+"""Zero-dependency media codecs: PPM (P6) / BMP (24-bit) / PNG /
+baseline JPEG images and PCM WAV audio, with numpy + the Python stdlib
+only.
 
-These make the multimodal pipeline's decode step REAL for the formats that
-need no external codec library; JPEG/PNG/MP4 and friends still require
-PIL/libav and remain explicit NotImplementedError integration points in
-functions/multimodal.py. Encoders exist so tests can round-trip
-(encode → decode == original array) and synthesize realistic media tables.
+These make the multimodal pipeline's decode step REAL for the formats a
+training corpus actually contains: baseline JFIF JPEG (functions/jpeg.py
+— huffman + dequant + IDCT + YCbCr, validated against real libjpeg
+files) and 8-bit PNG (zlib + the five scanline filters) joined PPM/BMP/
+WAV in r4. Progressive JPEG and video containers (MP4) still require
+external codecs and remain explicit NotImplementedError integration
+points in functions/multimodal.py. Encoders exist so tests can
+round-trip (encode → decode == original array) and synthesize realistic
+media tables.
 """
 
 from __future__ import annotations
@@ -144,13 +149,18 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
 
 
 def sniff_image(content: bytes | None) -> str | None:
-    """'ppm' | 'bmp' | None for the supported zero-dependency formats."""
+    """'ppm' | 'bmp' | 'png' | 'jpeg' | None for the supported
+    zero-dependency formats."""
     if not content:
         return None
     if content[:2] == b"P6":
         return "ppm"
     if content[:2] == b"BM":
         return "bmp"
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -161,9 +171,16 @@ def decode_image(content: bytes) -> np.ndarray:
         return decode_ppm(content)
     if kind == "bmp":
         return decode_bmp(content)
+    if kind == "png":
+        return decode_png(content)
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "image codec not decodable without external libraries (PIL/"
-        "turbojpeg); zero-dependency formats are PPM (P6) and 24-bit BMP"
+        "image codec not decodable without external libraries; "
+        "zero-dependency formats are PPM (P6), 24-bit BMP, 8-bit PNG, "
+        "and baseline JFIF JPEG"
     )
 
 
@@ -201,3 +218,105 @@ def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ri = (np.arange(out_h) * h) // out_h
     ci = (np.arange(out_w) * w) // out_w
     return img[ri][:, ci]
+
+
+# ---------------------------------------------------------------- PNG
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB, zero-dependency (stdlib zlib).
+
+    Supports 8-bit color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA) with all five scanline filters (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6); no interlace (Adam7 raises). Alpha is
+    dropped (pixels returned un-composited) — the multimodal feature
+    path consumes opaque rasters. Exactly inverts plans/plots.write_png
+    (lossless roundtrip pinned in tests)."""
+    import zlib as _zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos < len(content):
+        ln = struct.unpack_from(">I", content, pos)[0]
+        tag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8:
+        raise NotImplementedError(
+            f"PNG bit depth {bit_depth}; only 8-bit supported"
+        )
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    raw = _zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        f = filters[y]
+        cur = rows[y, 1:].astype(np.int64)
+        prior = out[y - 1].astype(np.int64) if y else np.zeros(
+            stride, np.int64
+        )
+        if f == 0:  # None
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prior) & 0xFF
+        else:
+            # Sub/Average/Paeth need the in-progress line — sequential in
+            # x is inherent to the format; vectorized across the row's
+            # bytes per pixel-offset would still recur, so plain loop
+            # (rows are short; scale path batches whole files per task)
+            line = np.zeros(stride, np.int64)
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if f == 1:  # Sub
+                    v = cur[x] + a
+                elif f == 3:  # Average
+                    v = cur[x] + ((a + b) >> 1)
+                elif f == 4:  # Paeth
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    v = cur[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                line[x] = v & 0xFF
+        out[y] = line.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if color_type == 2:
+        return px.copy()
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[px[:, :, 0]]
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # 6: RGBA -> drop alpha

@@ -5,13 +5,16 @@ No reference counterpart; first-class training-data-pipeline components.
 Decode support is split by dependency footprint:
 
 - ``decoder="real"``: genuinely decodes the zero-dependency formats —
-  PPM (P6) and 24-bit BMP images, PCM WAV audio — via
-  ``functions/codecs.py`` (numpy + stdlib only): real luma features, real
-  area-downsampled 8×8 image embeddings, real RMS/zero-crossing audio
-  features, real nearest-neighbor resize. Formats that require external
-  codec libraries (JPEG/PNG/MP4 — PIL/turbojpeg/pyav are not in this
-  container) raise NotImplementedError at the per-row dispatch, the
-  explicit production integration point.
+  baseline JFIF JPEG (``functions/jpeg.py``, r4: huffman + dequant +
+  IDCT + YCbCr, validated on real libjpeg files), 8-bit PNG (zlib + the
+  five scanline filters), PPM (P6) and 24-bit BMP images, PCM WAV audio
+  — via ``functions/codecs.py`` (numpy + stdlib only): real luma
+  features, real area-downsampled 8×8 image embeddings, real
+  RMS/zero-crossing audio features, real nearest-neighbor resize.
+  Formats that still require external codec libraries (progressive
+  JPEG, MP4 video — PIL/turbojpeg/pyav are not in this container) raise
+  NotImplementedError at the per-row dispatch, the explicit production
+  integration point.
 - ``decoder="fake"``: a deterministic stand-in deriving "pixels" from the
   raw bytes — for plumbing tests on arbitrary payloads.
 
@@ -127,10 +130,11 @@ def image_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode → feature-extract images: (media_id, n_bytes, mean_luma,
     feature[64]). mapInPandas over Arrow batches; constant memory.
 
-    decoder="real": PPM/BMP bytes are actually decoded; mean_luma is the
-    true BT.601 mean (scaled to [0,1]) and feature is the 8×8 area-mean
-    grayscale thumbnail — a real decode→grayscale→resize→embed pipeline.
-    Codecs that need external libraries raise NotImplementedError."""
+    decoder="real": JPEG/PNG/PPM/BMP bytes are actually decoded;
+    mean_luma is the true BT.601 mean (scaled to [0,1]) and feature is
+    the 8×8 area-mean grayscale thumbnail — a real
+    decode→grayscale→resize→embed pipeline. Codecs that need external
+    libraries raise NotImplementedError."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
