@@ -603,3 +603,76 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------- MJPEG
+#
+# Motion-JPEG in its rawest public form: a video stream is the
+# concatenation of per-frame baseline JPEGs (the payload format of
+# MJPEG-over-HTTP and the frame data inside MJPG AVIs). This gives the
+# multimodal pipeline a REAL zero-dependency video path: frame
+# boundaries are found by a marker-aware walk (cheap — no entropy
+# decode), so sampling every Nth frame decodes ONLY the sampled frames.
+
+
+def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> concatenated-JPEG MJPEG."""
+    return b"".join(encode_jpeg(f, quality=quality) for f in frames)
+
+
+def split_mjpeg(content: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte ranges of each JPEG frame in an MJPEG stream.
+
+    Walks segment structure (not a naive SOI byte scan — APPn segments
+    may legally contain 0xFFD8): header segments are skipped by length;
+    inside entropy-coded data only a non-stuffing, non-RST marker ends
+    the scan; EOI closes the frame."""
+    out = []
+    i = 0
+    n = len(content)
+    while i < n - 1:
+        if content[i] != 0xFF or content[i + 1] != 0xD8:
+            raise ValueError(f"MJPEG: expected SOI at byte {i}")
+        start = i
+        i += 2
+        in_scan = False
+        while i < n - 1:
+            if content[i] != 0xFF:
+                i += 1
+                continue
+            m = content[i + 1]
+            if in_scan:
+                if m == 0x00 or 0xD0 <= m <= 0xD7:
+                    i += 2
+                    continue
+                in_scan = False  # a real marker ends the scan
+            if m == 0xD9:  # EOI
+                i += 2
+                out.append((start, i))
+                break
+            if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack_from(">H", content, i + 2)[0]
+            if m == 0xDA:
+                in_scan = True
+            i += 2 + seg_len
+        else:
+            raise ValueError("MJPEG: truncated frame (no EOI)")
+    return out
+
+
+def decode_mjpeg_frames(
+    content: bytes, frame_indices: list[int] | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Decode selected frames of an MJPEG stream: [(frame_idx, rgb)].
+    frame_indices=None decodes all frames."""
+    ranges = split_mjpeg(content)
+    idxs = (
+        range(len(ranges)) if frame_indices is None else frame_indices
+    )
+    return [
+        (fi, decode_jpeg(content[ranges[fi][0] : ranges[fi][1]]))
+        for fi in idxs
+        if 0 <= fi < len(ranges)
+    ]

@@ -67,13 +67,26 @@ def synthetic_media(
     spark, n_rows: int = 64, seed: int = 42, real_payloads: bool = False
 ) -> DataFrame:
     """Deterministic media table for tests. With ``real_payloads``, image
-    rows carry genuine PPM/BMP bytes and audio rows genuine PCM WAV bytes
-    (exercising the real decode path end-to-end); video rows stay opaque."""
+    rows carry genuine PPM/BMP bytes, audio rows genuine PCM WAV bytes,
+    and video rows genuine MJPEG streams (r4) — exercising every real
+    decode path end-to-end."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_rows):
         kind = ["image", "audio", "video"][i % 3]
-        if real_payloads and kind == "image":
+        if real_payloads and kind == "video":
+            from .jpeg import encode_mjpeg
+
+            n_frames = int(rng.integers(3, 9))
+            h = int(rng.integers(8, 17))
+            w = int(rng.integers(8, 17))
+            frames = [
+                rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+                for _ in range(n_frames)
+            ]
+            payload = encode_mjpeg(frames, quality=85)
+            meta = (w, h, None, n_frames, "mjpeg")
+        elif real_payloads and kind == "image":
             h = int(rng.integers(8, 33))
             w = int(rng.integers(8, 33))
             img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
@@ -276,11 +289,70 @@ def sample_frames(
     df: DataFrame, every_nth: int = 10, decoder: str = "fake"
 ) -> DataFrame:
     """Frame-sample videos: one row per sampled frame with a stable frame
-    hash (stand-in for the decoded frame tensor)."""
+    hash.
+
+    decoder="real" (r4): MJPEG payloads (concatenated baseline JPEGs —
+    the raw public Motion-JPEG stream format) are GENUINELY frame-split
+    and decoded: frame boundaries come from a marker-aware segment walk
+    (no entropy decode), so only every Nth frame pays the JPEG decode;
+    frame_hash is a deterministic hash of the decoded RGB pixels.
+    Containerized video (MP4/H.264) still requires pyav/ffmpeg and
+    raises at the per-row dispatch. decoder="fake" keeps the plumbing
+    stand-in for arbitrary payloads."""
     if decoder == "real":
-        raise NotImplementedError(
-            "real video decode requires pyav/ffmpeg (not in this container)"
-        )
+        from .jpeg import decode_mjpeg_frames
+
+        def run_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vids = pdf[pdf["kind"] == "video"]
+                vids = vids[vids["content"].notna()]
+                if not len(vids):
+                    continue
+                out = {"media_id": [], "frame_idx": [], "frame_hash": []}
+                for mid, content in zip(
+                    vids["media_id"], vids["content"]
+                ):
+                    content = bytes(content)
+                    if content[:2] != b"\xff\xd8":
+                        raise NotImplementedError(
+                            "real video decode supports MJPEG "
+                            "(concatenated baseline JPEGs); "
+                            "containerized video (MP4/H.264) requires "
+                            "pyav/ffmpeg (not in this container)"
+                        )
+                    from .jpeg import split_mjpeg
+
+                    n_frames = len(split_mjpeg(content))
+                    idxs = list(range(0, n_frames, every_nth))
+                    for fi, rgb in decode_mjpeg_frames(content, idxs):
+                        out["media_id"].append(int(mid))
+                        out["frame_idx"].append(fi)
+                        out["frame_hash"].append(
+                            int(
+                                pd.util.hash_array(
+                                    rgb.reshape(-1).astype(np.int64)
+                                )
+                                .sum()
+                                .astype(np.int64)
+                            )
+                        )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series(
+                            out["media_id"], dtype="int64"
+                        ),
+                        "frame_idx": pd.Series(
+                            out["frame_idx"], dtype="int32"
+                        ),
+                        "frame_hash": pd.Series(
+                            out["frame_hash"], dtype="int64"
+                        ),
+                    }
+                )
+
+        return df.mapInPandas(run_real, FRAME_SAMPLE_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -352,12 +352,54 @@ def test_multimodal_plumbing(spark):
     assert len(frames) == sum(
         len(range(0, r["meta"]["n_frames"], 10)) for r in vids
     )
-    # real decoder on arbitrary (non-PPM/BMP) bytes: the per-row dispatch
+    # real decoder on arbitrary (non-codec) bytes: the per-row dispatch
     # raises — surfaced by Spark as a wrapped worker exception
     with pytest.raises(Exception, match="PPM|BMP|codec"):
         image_features(media, decoder="real").collect()
-    with pytest.raises(NotImplementedError):
-        sample_frames(media, every_nth=10, decoder="real")
+    # arbitrary video bytes are not an MJPEG stream -> per-row raise
+    with pytest.raises(Exception, match="MJPEG|pyav|ffmpeg"):
+        sample_frames(media, every_nth=10, decoder="real").collect()
+
+
+def test_sample_frames_real_mjpeg(spark):
+    """Real MJPEG frame sampling: synthetic video rows carry genuine
+    concatenated-JPEG streams; every_nth sampling decodes only those
+    frames and hashes the actual pixels (deterministic)."""
+    from parallel_pagerank_spark.functions.jpeg import (
+        decode_mjpeg_frames,
+        split_mjpeg,
+    )
+    from parallel_pagerank_spark.functions.multimodal import (
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n_rows=12, real_payloads=True)
+    vids = {
+        r["media_id"]: bytes(r["content"])
+        for r in media.collect()
+        if r["kind"] == "video"
+    }
+    out = sample_frames(media, every_nth=2, decoder="real").collect()
+    got = {(r["media_id"], r["frame_idx"]): r["frame_hash"] for r in out}
+    import pandas as _pd
+
+    want = {}
+    for mid, content in vids.items():
+        n = len(split_mjpeg(content))
+        for fi, rgb in decode_mjpeg_frames(content, list(range(0, n, 2))):
+            want[(mid, fi)] = int(
+                _pd.util.hash_array(rgb.reshape(-1).astype(np.int64))
+                .sum()
+                .astype(np.int64)
+            )
+    assert got == want and len(got) > 0
+    # frame splitting found every frame meta promised
+    for r in media.collect():
+        if r["kind"] == "video":
+            assert len(split_mjpeg(bytes(r["content"]))) == (
+                r["meta"]["n_frames"]
+            )
 
 
 def test_sessionize(spark):
