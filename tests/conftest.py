@@ -26,3 +26,21 @@ def edges_df(spark, edges):
     return spark.createDataFrame(
         [(int(s), int(t)) for s, t in edges], "src long, dst long"
     )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default suite stays under the ~10-minute budget (r3 verdict #9):
+    tests marked ``exhaustive`` — the slowest distributed-loop runs whose
+    surfaces are ALSO covered by a faster test, a driver oracle row, or
+    both — are skipped unless SPARK_GRAFT_EXHAUSTIVE=1. The committed
+    durations snapshot lives in BENCH/pytest_durations.txt."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_EXHAUSTIVE"):
+        return
+    skip = pytest.mark.skip(
+        reason="exhaustive tier (set SPARK_GRAFT_EXHAUSTIVE=1)"
+    )
+    for item in items:
+        if "exhaustive" in item.keywords:
+            item.add_marker(skip)

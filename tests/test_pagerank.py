@@ -97,6 +97,7 @@ def test_ring_uniform(spark):
     assert res.iterations == oracle_iters
 
 
+@pytest.mark.exhaustive  # default tier: test_salted_hub_skew_matches runs the same star-hub graph (salted AND unsalted sides)
 def test_star_hub_skew(spark):
     # star: hub 0 ↔ all spokes (dashboard/app.py:1488-1493) — worst-case
     # single-key skew for the dst aggregation
@@ -194,6 +195,7 @@ def test_vectorized_rejects_sparse_ids(spark):
         pagerank_vectorized(df, vertices=v)
 
 
+@pytest.mark.exhaustive  # default tier: driver oracle row pagerank_personalized20 hash-checks this surface every round
 def test_personalized_teleport(spark):
     """Personalized PageRank: the reference's declared-but-unused Node.e
     per-vertex teleport field (pagerank_mpi.h:13) implemented properly;
@@ -245,6 +247,7 @@ def test_weighted_edges_match_oracle(spark):
     assert got_vec.sum() == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.exhaustive  # default tier: test_multi_edge_and_self_loop pins multi-edge semantics; test_weighted_edges_match_oracle pins weights
 def test_weighted_duplicate_edge_equivalence(spark):
     """A duplicated unweighted edge == one edge of weight 2 — the multi-edge
     semantics of csr_graph.c:19-23 expressed through weights."""

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -236,6 +237,7 @@ def test_triangle_methods_agree_random_graphs(spark, edges):
     assert triangle_count(df, "degree_oriented") == want
 
 
+@pytest.mark.exhaustive  # default tier: test_pagerank_random_graphs (unweighted) + test_weighted_edges_match_oracle cover both axes
 @given(
     _edges_strategy,
     st.lists(st.integers(1, 5), min_size=40, max_size=40),

@@ -93,6 +93,7 @@ def test_percentile_filter_approx_tier(spark):
 
 
 # -------------------------------------------------- PageRank warm-start
+@pytest.mark.exhaustive  # default tier: test_pagerank_warm_start_validates covers the contract; fixpoint parity is the 1e-6 suite's
 def test_pagerank_warm_start_same_fixpoint_fewer_iterations(spark):
     from parallel_pagerank_spark.config import PageRankConfig
     from parallel_pagerank_spark.operators.pagerank import pagerank
