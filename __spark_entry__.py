@@ -1402,6 +1402,53 @@ def _q_sample_k_per_lang(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_media_features(spark, sf_dir):
+    """Multimodal decode → feature pipeline through the REAL codecs
+    (functions/jpeg.py + functions/codecs.py, r4): a deterministic media
+    table (PPM/BMP images, PCM WAV audio, MJPEG video — all genuinely
+    encoded bytes) is decoded back via mapInPandas and reduced to one
+    row per medium: images → true BT.601 mean luma, audio → RMS, video
+    → sampled-frame pixel hashes. No SQL oracle (binary codecs are not
+    SQL-expressible — rows-only by design); determinism is pinned by
+    tests/test_codecs_jpeg_png.py + test_functions.py golden/roundtrip
+    suites, and the committed JPEG fixture hash-pins the decoder."""
+    from parallel_pagerank_spark.functions.multimodal import (
+        audio_features,
+        image_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n_rows=24, real_payloads=True)
+    img = image_features(media, decoder="real").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.round("mean_luma", 6).alias("value"),
+    )
+    aud = audio_features(media, decoder="real").select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.round("rms", 6).alias("value"),
+    )
+    vid = (
+        sample_frames(media, every_nth=2, decoder="real")
+        # pmod BEFORE summing: raw 64-bit pixel hashes overflow an ANSI
+        # int64 sum; per-frame residues sum safely (n_frames * P << 2^63)
+        .groupBy("media_id")
+        .agg(
+            F.sum(F.pmod("frame_hash", F.lit(1_000_000_007))).alias("h")
+        )
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            F.pmod("h", F.lit(1_000_000_007)).cast("double").alias(
+                "value"
+            ),
+        )
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered funnel view → click → purchase (sources/events.py
     funnel_counts): per-user earliest-completion chaining, step i+1
@@ -1590,6 +1637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "cocitation": _q_cocitation,
         "coupling": _q_coupling,
+        # rows-only by design (binary codecs are not SQL-expressible)
+        "media_features": _q_media_features,
     }
 
 
