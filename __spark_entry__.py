@@ -1402,6 +1402,35 @@ def _q_sample_k_per_lang(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII redaction + per-pattern hit counts (functions/text.py
+    pii_stats): emails, IPv4s, long digit runs → typed placeholder
+    tokens, chained regexp_replace in a dialect-portable subset (same
+    semantics in Java regex and RE2 — see PII_PATTERNS). The synthetic
+    corpus is PII-free, so deterministic PII is INJECTED per doc (an
+    email, an IP, a 15-digit account number built from doc_id) — the
+    oracle applies the identical injection and the identical regex
+    chain, making the whole transform hash-exact including the cleaned
+    text."""
+    from parallel_pagerank_spark.functions.text import pii_stats
+
+    docs = _documents(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(" acct "),
+            (F.col("doc_id") * F.lit(1_000_000) + F.lit(123_456_789))
+            .cast("string"),
+        ).alias("text"),
+    )
+    return pii_stats(salted)
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal decode → feature pipeline through the REAL codecs
     (functions/jpeg.py + functions/codecs.py, r4): a deterministic media
@@ -1585,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": _q_cluster_assign,
         "drift_nchars": _q_drift_nchars,
         "safe_split": _q_safe_split,
+        "pii_scrub": _q_pii_scrub,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -2833,6 +2863,7 @@ WHERE rn = 1
 """,
         "drift_nchars": _drift_sql(10),
         "safe_split": _safe_split_sql(),
+        "pii_scrub": _pii_scrub_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3339,4 +3370,32 @@ SELECT (SELECT id FROM src0) AS source_id,
        max(dist) AS diameter_lb,
        count(*) AS n_reached
 FROM b_s{rounds}
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """Mirror of _q_pii_scrub: identical PII injection + identical
+    regex chain (functions/text.py PII_PATTERNS are dialect-portable by
+    construction; redact_pii_sql emits the DuckDB side)."""
+    from parallel_pagerank_spark.functions.text import (
+        PII_PATTERNS,
+        redact_pii_sql,
+    )
+
+    counts = ", ".join(
+        "len(regexp_split_to_array(text, "
+        f"'{pat}')) - 1 AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com via 10.0.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || ' acct '
+              || CAST(doc_id * 1000000 + 123456789 AS VARCHAR) AS text
+  FROM documents)
+SELECT doc_id, {counts}, {redact_pii_sql('text')} AS clean_text
+FROM s
 """

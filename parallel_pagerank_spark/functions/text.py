@@ -525,3 +525,69 @@ def repeated_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+# ------------------------------------------------------------ PII scrub
+#
+# Standard training-data release hygiene (the C4 / Gopher / BigScience
+# ROOTS pipelines all carry a regex PII pass): emails, IPv4 addresses,
+# and long digit runs (phone/account numbers) are replaced with typed
+# placeholder tokens. Patterns are deliberately restricted to syntax
+# that means THE SAME THING in Java regex (Spark) and RE2 (DuckDB), so
+# the DuckDB oracle can mirror the transform verbatim — character
+# classes, bounded repetition, and ASCII \b word boundaries only (no
+# lookaround, no backreferences).
+#
+# Order matters and is part of the contract: emails first (an email
+# contains digit runs), then IPv4 (dotted digits would otherwise be
+# eaten by the digit-run rule), then bare digit runs.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("digits", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained regexp_replace applying :data:`PII_PATTERNS` in order.
+    Pure Column expression — whole-stage codegen, scan-side at 100 TB."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_digits, clean_text): per-doc PII hit
+    counts plus the redacted text. Each count is the pattern's match
+    count on the ORIGINAL text (a digit run inside an email counts under
+    both, though the ordered redaction replaces it once, as <EMAIL>);
+    ``all counts == 0  <=>  clean_text == text``."""
+    counts = [
+        (
+            F.size(F.split(F.col(text_col), pat, -1)) - F.lit(1)
+        ).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *counts,
+        redact_pii(F.col(text_col)).alias("clean_text"),
+    )
+
+
+def redact_pii_sql(expr: str) -> str:
+    """The identical transform as ANSI/DuckDB SQL (RE2 'g' flag =
+    Spark's replace-all default)."""
+    out = expr
+    for _, pat, token in PII_PATTERNS:
+        # DuckDB strings are escape-free by default: the Java-regex
+        # pattern text passes to RE2 verbatim (quotes doubled per ANSI)
+        out = (
+            f"regexp_replace({out}, '{pat.replace(chr(39), chr(39) * 2)}',"
+            f" '{token}', 'g')"
+        )
+    return out

@@ -195,3 +195,61 @@ def test_leakage_safe_split_non_default_id_col(spark):
     assert rows[1][0] == rows[2][0] == 1
     assert rows[1][1] == rows[2][1]
     assert rows[3][0] == 3
+
+
+# ------------------------------------------------------------- PII scrub
+def test_redact_pii_hand_cases(spark):
+    from parallel_pagerank_spark.functions.text import pii_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org please"),
+            (2, "server 192.168.1.254 and backup 10.0.0.7"),
+            (3, "card 4111111111111111 pin 1234"),
+            (4, "clean text with a short 123 number"),
+            # email's digits must NOT double-redact; ip inside a
+            # sentence; 9-digit boundary case
+            (5, "u123456789@x.io then 123456789 then 12345678"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> please"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["clean_text"] == "server <IP> and backup <IP>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["clean_text"] == "card <NUM> pin 1234"
+    assert out[3]["n_digits"] == 1
+    assert out[4]["clean_text"] == out[4]["clean_text"]
+    assert (
+        out[4]["n_email"] == out[4]["n_ipv4"] == out[4]["n_digits"] == 0
+    )
+    assert out[5]["clean_text"] == "<EMAIL> then <NUM> then 12345678"
+
+
+def test_redact_pii_sql_mirror():
+    """The DuckDB-side chain produces the identical cleaned string on
+    adversarial inputs (dialect-portability contract of PII_PATTERNS)."""
+    import duckdb
+
+    from parallel_pagerank_spark.functions.text import redact_pii_sql
+
+    cases = [
+        "mail jane.doe+x@sub.example.org or 10.0.0.7 acct 999888777666",
+        "no pii here",
+        "edge 1.2.3.4.5 and 255.255.255.255",
+        "a@b.co x@y.museum 1234567890123456789",
+    ]
+    expr = redact_pii_sql("s")
+    for s in cases:
+        got = duckdb.sql(
+            f"SELECT {expr} FROM (SELECT '{s}' AS s)"
+        ).fetchone()[0]
+        import re
+
+        want = s
+        from parallel_pagerank_spark.functions.text import PII_PATTERNS
+
+        for _, pat, token in PII_PATTERNS:
+            want = re.sub(pat, token, want)
+        assert got == want, (s, got, want)
