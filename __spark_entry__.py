@@ -1431,6 +1431,24 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_stats(salted)
 
 
+def _q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the undirected reply∪handoff
+    graph (operators/linkanalysis.py adamic_adar): for each
+    non-adjacent pair sharing ≥1 neighbor, Σ 1/ln(deg(k)) over common
+    neighbors k — the classic CIKM'03 predictor. n_common is
+    all-integer; score is a sum of 1/ln(small-int) doubles rounded 9
+    (same float discipline as ngram_jaccard). degree_cap=1000 never
+    hit at driver SFs; the oracle applies it anyway so formulas match
+    exactly."""
+    from parallel_pagerank_spark.operators.linkanalysis import adamic_adar
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    pairs = adamic_adar(event_graph_edges(_events(spark, sf_dir)))
+    return pairs.select(
+        "u", "v", "n_common", F.round("score", 9).alias("score")
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal decode → feature pipeline through the REAL codecs
     (functions/jpeg.py + functions/codecs.py, r4): a deterministic media
@@ -1615,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_nchars": _q_drift_nchars,
         "safe_split": _q_safe_split,
         "pii_scrub": _q_pii_scrub,
+        "adamic_adar": _q_adamic_adar,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -2864,6 +2883,7 @@ WHERE rn = 1
         "drift_nchars": _drift_sql(10),
         "safe_split": _safe_split_sql(),
         "pii_scrub": _pii_scrub_sql(),
+        "adamic_adar": _adamic_adar_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3398,4 +3418,31 @@ WITH s AS MATERIALIZED (
   FROM documents)
 SELECT doc_id, {counts}, {redact_pii_sql('text')} AS clean_text
 FROM s
+"""
+
+
+def _adamic_adar_sql() -> str:
+    """Mirror of operators/linkanalysis.py adamic_adar (undirected
+    distinct neighborhoods, cap 1000, existing pairs anti-joined)."""
+    return f"""WITH {_EDGES_MAT_CTE},
+nbr AS MATERIALIZED (
+  SELECT DISTINCT k, x FROM (
+    SELECT src AS k, dst AS x FROM edges
+    UNION ALL SELECT dst AS k, src AS x FROM edges)
+  WHERE k <> x),
+deg AS MATERIALIZED (SELECT k, count(*) AS k_deg FROM nbr GROUP BY k),
+kept AS MATERIALIZED (
+  SELECT nbr.k, nbr.x, deg.k_deg FROM nbr JOIN deg ON deg.k = nbr.k
+  WHERE deg.k_deg <= 1000),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+pairs AS (
+  SELECT a.x AS u, b.x AS v, count(*) AS n_common,
+         sum(1.0 / ln(a.k_deg::DOUBLE)) AS score
+  FROM kept a JOIN kept b ON a.k = b.k AND a.x < b.x
+  GROUP BY a.x, b.x)
+SELECT p.u, p.v, p.n_common, round(p.score, 9) AS score
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = p.u AND und.v = p.v)
 """

@@ -162,3 +162,93 @@ def test_walk_transitions(spark):
         for r in walk_transitions(res).collect()
     }
     assert got == dict(oracle)
+
+
+# ---------------------------------------------------------- Adamic-Adar
+def _aa_python(edges, weight="adamic_adar", cap=1000, exclude=True):
+    import math
+
+    nbrs = defaultdict(set)
+    for s, t in edges:
+        if s != t:
+            nbrs[s].add(t)
+            nbrs[t].add(s)
+    existing = {(min(s, t), max(s, t)) for s, t in edges if s != t}
+    out = {}
+    for k, nk in nbrs.items():
+        if len(nk) > cap or len(nk) < 2:  # deg-1 vertices emit no pairs
+            continue
+        if weight == "adamic_adar":
+            w = 1.0 / math.log(len(nk))
+        elif weight == "resource_allocation":
+            w = 1.0 / len(nk)
+        else:
+            w = 1.0
+        ns = sorted(nk)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1:]:
+                n, s = out.get((u, v), (0, 0.0))
+                out[(u, v)] = (n + 1, s + w)
+    if exclude:
+        out = {p: v for p, v in out.items() if p not in existing}
+    return out
+
+
+AA_EDGES = [(1, 2), (2, 3), (1, 4), (4, 3), (5, 1), (2, 2), (1, 2)]
+
+
+@pytest.mark.parametrize(
+    "weight", ["adamic_adar", "resource_allocation", "common"]
+)
+def test_adamic_adar_hand_graph(spark, weight):
+    from parallel_pagerank_spark.operators.linkanalysis import adamic_adar
+
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["score"])
+        for r in adamic_adar(
+            edges_df(spark, AA_EDGES), weight=weight
+        ).collect()
+    }
+    want = _aa_python(AA_EDGES, weight=weight)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p][0] == want[p][0]
+        assert got[p][1] == pytest.approx(want[p][1], abs=1e-12)
+    # (1,3) shares neighbors 2 and 4 and is NOT an edge -> present;
+    # (1,2) is an edge -> excluded
+    assert (1, 3) in got and (1, 2) not in got
+
+
+def test_adamic_adar_include_existing_and_cap(spark):
+    from parallel_pagerank_spark.operators.linkanalysis import (
+        adamic_adar,
+        excluded_hubs_undirected,
+    )
+
+    df = edges_df(spark, AA_EDGES)
+    inc = {
+        (r["u"], r["v"]): r["n_common"]
+        for r in adamic_adar(df, exclude_existing=False).collect()
+    }
+    want = _aa_python(AA_EDGES, exclude=False)
+    assert inc == {p: n for p, (n, _) in want.items()}
+    # cap=2 excludes vertex 1 (undirected deg 3) from pair generation
+    capped = {
+        (r["u"], r["v"]): r["n_common"]
+        for r in adamic_adar(df, degree_cap=2).collect()
+    }
+    assert capped == {
+        p: n for p, (n, _) in _aa_python(AA_EDGES, cap=2).items()
+    }
+    hubs = {
+        r["k"]: r["k_deg"]
+        for r in excluded_hubs_undirected(df, degree_cap=2).collect()
+    }
+    assert hubs == {1: 3}
+
+
+def test_adamic_adar_validates_weight(spark):
+    from parallel_pagerank_spark.operators.linkanalysis import adamic_adar
+
+    with pytest.raises(ValueError):
+        adamic_adar(edges_df(spark, AA_EDGES), weight="katz")
