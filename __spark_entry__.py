@@ -1449,6 +1449,33 @@ def _q_adamic_adar(spark, sf_dir):
     )
 
 
+def _q_url_domains(spark, sf_dir):
+    """URL extraction → per-domain stats (functions/urls.py): the
+    C4/CCNet-style per-domain curation readout. The synthetic corpus has
+    no URLs, so two deterministic URLs are INJECTED per doc (domain
+    classes site{id%50}.example.com and m{id%7}.example.org, one with a
+    path); the oracle applies the identical injection and the identical
+    Java∩RE2 regex chain, so extraction + domain parse + both counts
+    are hash-exact."""
+    from parallel_pagerank_spark.functions.urls import domain_stats
+
+    docs = _documents(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"),
+            F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and http://m"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.org"),
+        ).alias("text"),
+    )
+    return domain_stats(salted)
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal decode → feature pipeline through the REAL codecs
     (functions/jpeg.py + functions/codecs.py, r4): a deterministic media
@@ -1634,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "safe_split": _q_safe_split,
         "pii_scrub": _q_pii_scrub,
         "adamic_adar": _q_adamic_adar,
+        "url_domains": _q_url_domains,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -2884,6 +2912,7 @@ WHERE rn = 1
         "safe_split": _safe_split_sql(),
         "pii_scrub": _pii_scrub_sql(),
         "adamic_adar": _adamic_adar_sql(),
+        "url_domains": _url_domains_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3445,4 +3474,30 @@ pairs AS (
 SELECT p.u, p.v, p.n_common, round(p.score, 9) AS score
 FROM pairs p
 WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = p.u AND und.v = p.v)
+"""
+
+
+def _url_domains_sql() -> str:
+    """Mirror of _q_url_domains: identical URL injection (one mixed-case
+    host to exercise the lowercasing), identical extraction regex
+    (functions/urls.py URL_PATTERN is Java∩RE2-portable by
+    construction), identical domain parse + lower()."""
+    from parallel_pagerank_spark.functions.urls import URL_PATTERN
+
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id,
+         text || ' see https://Site' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || ' and http://m' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.org' AS text
+  FROM documents),
+u AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^https?://([^/:]+)', 1)) AS domain
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+        FROM s))
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM u GROUP BY domain
 """
