@@ -1476,6 +1476,24 @@ def _q_url_domains(spark, sf_dir):
     return domain_stats(salted)
 
 
+def _q_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal (functions/lm.py): add-one bigram
+    model trained on the lang='en' slice, every document scored with
+    its mean negative log-likelihood per bigram. n_bigrams is
+    all-integer; nll is a mean of ln(rational) doubles rounded 9 (the
+    established float discipline). Bigram formation is scan-local
+    (transform over the token array — no window shuffle); the oracle
+    mirrors it with zipped list-slice unnests."""
+    from parallel_pagerank_spark.functions.lm import bigram_lm_score
+
+    docs = _documents(spark, sf_dir)
+    train = docs.where(F.col("lang") == "en")
+    out = bigram_lm_score(train, docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("nll", 9).alias("nll")
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal decode → feature pipeline through the REAL codecs
     (functions/jpeg.py + functions/codecs.py, r4): a deterministic media
@@ -1662,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "adamic_adar": _q_adamic_adar,
         "url_domains": _q_url_domains,
+        "lm_score": _q_lm_score,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -2913,6 +2932,7 @@ WHERE rn = 1
         "pii_scrub": _pii_scrub_sql(),
         "adamic_adar": _adamic_adar_sql(),
         "url_domains": _url_domains_sql(),
+        "lm_score": _lm_score_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3500,4 +3520,39 @@ u AS (
         FROM s))
 SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM u GROUP BY domain
+"""
+
+
+def _lm_score_sql() -> str:
+    """Mirror of _q_lm_score (functions/lm.py model): bigrams via zipped
+    list-slice unnests (DuckDB zips parallel unnests), add-one smoothing
+    with the bigram-left marginal and the training-slice vocabulary."""
+    return r"""
+WITH tr AS MATERIALIZED (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE lang = 'en'),
+trb AS MATERIALIZED (
+  SELECT unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM tr WHERE len(toks) >= 2),
+bc AS MATERIALIZED (SELECT w1, w2, count(*) AS nb FROM trb GROUP BY w1, w2),
+mc AS MATERIALIZED (SELECT w1, sum(nb) AS nu FROM bc GROUP BY w1),
+v AS (SELECT count(DISTINCT tok) AS vs
+      FROM (SELECT unnest(toks) AS tok FROM tr)),
+sc AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+sb AS (
+  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM sc WHERE len(toks) >= 2),
+terms AS (
+  SELECT sb.doc_id,
+         ln((coalesce(bc.nb, 0) + 1)::DOUBLE
+            / (coalesce(mc.nu, 0) + v.vs)::DOUBLE) AS lp
+  FROM sb CROSS JOIN v
+  LEFT JOIN bc ON bc.w1 = sb.w1 AND bc.w2 = sb.w2
+  LEFT JOIN mc ON mc.w1 = sb.w1)
+SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 9) AS nll
+FROM terms GROUP BY doc_id
 """

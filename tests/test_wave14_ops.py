@@ -87,3 +87,86 @@ def test_filter_blocked_broadcasts(spark, docs_df):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "BroadcastNestedLoop" not in plan  # never a cartesian
+
+
+# ------------------------------------------------------ bigram LM score
+def _lm_python(train_texts, score_docs):
+    import math
+    from collections import Counter
+
+    def toks(t):
+        return t.strip().lower().split()
+
+    bc: Counter = Counter()
+    vocab = set()
+    for t in train_texts:
+        ts = toks(t)
+        vocab.update(ts)
+        bc.update(zip(ts, ts[1:]))
+    mc: Counter = Counter()
+    for (w1, _), n in bc.items():
+        mc[w1] += n
+    v = len(vocab)
+    out = {}
+    for doc_id, t in score_docs:
+        ts = toks(t)
+        if len(ts) < 2:
+            continue
+        lps = [
+            math.log((bc[(a, b)] + 1) / (mc[a] + v))
+            for a, b in zip(ts, ts[1:])
+        ]
+        out[doc_id] = (len(lps), -sum(lps) / len(lps))
+    return out
+
+
+def test_bigram_lm_score_parity(spark):
+    from parallel_pagerank_spark.functions.lm import bigram_lm_score
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat",
+    ]
+    score_docs = [
+        (10, "The  cat sat "),     # case + run of spaces normalized
+        (11, "zz qq unseen all"),  # fully OOV -> 1/V terms
+        (12, "one"),               # no bigrams -> no row
+        (13, ""),                  # empty -> no row
+        (14, "the cat sat on the mat"),  # in-distribution, lowest nll
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(score_docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_lm_score(train, score).collect()
+    }
+    want = _lm_python(train_texts, score_docs)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-12)
+    # the quality signal orders as CCNet intends: in-distribution text
+    # scores strictly below fully-OOV text
+    assert got[10][1] < got[11][1] and got[14][1] < got[11][1]
+
+
+def test_bigram_lm_plan_scan_local(spark):
+    """Bigram formation must not introduce a Window (the whole point of
+    the slice/transform design), and the plan carries no Python UDF."""
+    from parallel_pagerank_spark.functions.lm import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = (
+        bigram_lm_score(df, df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
