@@ -269,6 +269,39 @@ def child_headline() -> None:
             fast_path_edges=0,
         ).distances.count()
     )
+    # wave-14 ops, reported SEPARATELY so the 11-query headline sum stays
+    # comparable round-over-round. Full-row checksum consumption, same
+    # honesty rule as the headline.
+    from parallel_pagerank_spark.functions.lm import bigram_lm_score
+    from parallel_pagerank_spark.functions.text import pii_stats
+    from parallel_pagerank_spark.functions.urls import domain_stats
+    from parallel_pagerank_spark.operators.linkanalysis import adamic_adar
+
+    extras: dict[str, float] = {}
+    extras["lm_score"], _ = _timed(
+        lambda: _checksum(
+            bigram_lm_score(docs.filter(F.col("lang") == "en"), docs)
+        )
+    )
+    extras["pii_scrub"], _ = _timed(lambda: _checksum(pii_stats(docs)))
+    extras["url_domains"], _ = _timed(
+        lambda: _checksum(
+            domain_stats(
+                docs.withColumn(
+                    "text",
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" https://s"),
+                        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                        F.lit(".example.com/p"),
+                    ),
+                )
+            )
+        )
+    )
+    extras["adamic_adar"], _ = _timed(
+        lambda: _checksum(adamic_adar(edges))
+    )
     print(
         json.dumps(
             {
@@ -276,6 +309,7 @@ def child_headline() -> None:
                 "queries_best": queries_best,
                 "pagerank": pr_stats,
                 "distributed_tiers": distributed,
+                "extras": extras,
             }
         )
     )
@@ -361,6 +395,9 @@ def main() -> None:
         "distributed_tiers": {
             k: round(v, 3)
             for k, v in head.get("distributed_tiers", {}).items()
+        },
+        "extras": {
+            k: round(v, 3) for k, v in head.get("extras", {}).items()
         },
         "scaling": {
             "cores_small": small,
