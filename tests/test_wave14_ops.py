@@ -170,3 +170,78 @@ def test_bigram_lm_plan_scan_local(spark):
     )
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wave14_stateless_ops_on_stream(spark, tmp_path):
+    """PII scrub and URL extraction are pure Column expressions and the
+    LM scorer is stateless given a fixed model, so the same calls work
+    unchanged on a Structured Streaming source (the production shape:
+    train the LM on a trusted batch slice, score the incoming stream)
+    and agree with the batch result row-for-row."""
+    from parallel_pagerank_spark.functions.lm import bigram_lm_score
+    from parallel_pagerank_spark.functions.text import pii_stats
+    from parallel_pagerank_spark.functions.urls import extract_urls
+
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"doc {i} mail u{i}@example.com at "
+                f"https://s{i % 3}.example.org/p acct "
+                f"{1000000000 + i} the cat sat on mat {i}",
+            )
+            for i in range(30)
+        ],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "doc mail acct the cat")],
+        ["doc_id", "text"],
+    )
+    in_dir = str(tmp_path / "w14_in")
+    docs.coalesce(2).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        in_dir
+    )
+
+    def run(src, name):
+        out_df = (
+            pii_stats(src)
+            .join(
+                extract_urls(src).groupBy("doc_id").count(),
+                "doc_id",
+            )
+            .join(bigram_lm_score(train, src), "doc_id")
+        )
+        return out_df
+
+    def run_stream(src, name):
+        # per-doc scoring is stateless given the fixed model, so
+        # foreachBatch (the standard arbitrary-batch-op-on-a-stream
+        # pattern) is exact regardless of micro-batch boundaries
+        out = str(tmp_path / f"{name}_out")
+        q = (
+            src.writeStream.foreachBatch(
+                lambda bdf, _eid: run(bdf, name)
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option(
+                "checkpointLocation", str(tmp_path / f"{name}_ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out)
+
+    def key(df):
+        return {r["doc_id"]: tuple(r)[1:] for r in df.collect()}
+
+    got = key(run_stream(stream, "s"))
+    want = key(run(docs, "b"))
+    assert len(got) == 30
+    for d, row in want.items():
+        g = got[d]
+        assert g[:-1] == row[:-1]
+        assert g[-1] == pytest.approx(row[-1], abs=1e-12)
