@@ -292,6 +292,29 @@ def _q_pagerank_weighted20(spark, sf_dir):
     )
 
 
+def _q_pagerank_decayed10(spark, sf_dir):
+    """Time-decayed PageRank (10 fixed iterations): edge weight =
+    H/(H + age_us) of the SOURCE event (hyperbolic recency decay, exact
+    integer epoch-microsecond arithmetic — see
+    sources/events.py decayed_event_edges for why not exp); rank flows
+    proportionally to weight/Σweights(src). The transcripts-payload tie-
+    in: recent conversational activity ranks higher."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.sources.events import decayed_event_edges
+
+    res = pagerank(
+        decayed_event_edges(_events(spark, sf_dir)),
+        config=PageRankConfig(tol=0.0, max_iter=10),
+        weight_col="weight",
+    )
+    return (
+        res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
 def _q_clustering_coefficient(spark, sf_dir):
     from parallel_pagerank_spark.operators.stats import (
         clustering_coefficient,
@@ -1681,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": _q_adamic_adar,
         "url_domains": _q_url_domains,
         "lm_score": _q_lm_score,
+        "pagerank_decayed10": _q_pagerank_decayed10,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -1876,6 +1900,7 @@ def _pagerank_fixed_sql(
     weighted: bool = False,
     personalized: bool = False,
     trajectory: bool = False,
+    wedges_sql: str | None = None,
 ) -> str:
     """Unrolled power iteration mirroring operators/pagerank.py float-op
     for float-op: w = 1.0/out_deg then rank*w (not rank/out_deg), damping
@@ -1891,7 +1916,11 @@ def _pagerank_fixed_sql(
     w = 1 + id % 5 (integer-valued doubles, Σw exact in both engines);
     init p = v, update p' = 0.85·(contrib + S·v) + (1.0-0.85)·v —
     mirroring pagerank(teleport=...)."""
-    wedges_cte = """,
+    if wedges_sql is not None:
+        # custom weighted-edge CTE (must yield src, dst, weight);
+        # implies the weighted update rule
+        weighted = True
+    wedges_cte = wedges_sql or """,
 wedges AS MATERIALIZED (
   SELECT src, dst, (1 + (src + dst) % 3)::DOUBLE AS weight FROM edges)"""
     deg_cte = (
@@ -2933,6 +2962,16 @@ WHERE rn = 1
         "adamic_adar": _adamic_adar_sql(),
         "url_domains": _url_domains_sql(),
         "lm_score": _lm_score_sql(),
+        "pagerank_decayed10": _pagerank_fixed_sql(
+            10,
+            wedges_sql=""",
+wedges AS MATERIALIZED (
+  SELECT e.src, e.dst,
+         43200000000.0::DOUBLE
+           / (43200000000 + (SELECT max(epoch_us(ts)) FROM events)
+              - epoch_us(ev.ts))::DOUBLE AS weight
+  FROM edges e JOIN events ev ON ev.event_id = e.src)""",
+        ),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(

