@@ -315,6 +315,19 @@ def _q_pagerank_decayed10(spark, sf_dir):
     )
 
 
+def _q_salsa(spark, sf_dir):
+    """SALSA authority scores (Lempel & Moran WWW'00) over the
+    reply∪handoff graph via the paper's closed form — one bipartite
+    connected-components run + two aggregations, no power iteration
+    (operators/salsa.py). Scores are one exact-integer-product IEEE
+    division each, rounded 9."""
+    from parallel_pagerank_spark.operators.salsa import salsa_scores
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    out = salsa_scores(event_graph_edges(_events(spark, sf_dir)))
+    return out.select("id", F.round("score", 9).alias("score"))
+
+
 def _q_clustering_coefficient(spark, sf_dir):
     from parallel_pagerank_spark.operators.stats import (
         clustering_coefficient,
@@ -1705,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domains": _q_url_domains,
         "lm_score": _q_lm_score,
         "pagerank_decayed10": _q_pagerank_decayed10,
+        "salsa": _q_salsa,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -1801,13 +1815,21 @@ verts AS MATERIALIZED (SELECT unnest(range(0, n))::BIGINT AS id FROM params)
 """
 
 
-def _cc_sql(rounds: int = 16, final: str | None = None) -> str:
+def _cc_sql(
+    rounds: int = 16, final: str | None = None, prelude: str | None = None
+) -> str:
     """Min-label connected components: per round one 'hook' (take the min
     label over the closed neighborhood) and two 'compress' pointer jumps
     (label <- label of the vertex the label names) — the public
     Shiloach-Vishkin / FastSV shape, giving geometric convergence instead
-    of O(diameter) plain propagation."""
-    parts = [f"WITH {_EDGES_MAT_CTE}, {_SYM_CTE}, l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)"]
+    of O(diameter) plain propagation.
+
+    ``prelude`` overrides the default edge/sym/verts CTEs — it must
+    define ``sym(u, v)`` (symmetric, self-loop-free) and ``verts(id)``
+    covering every endpoint; downstream oracles (SALSA) use this to run
+    FastSV over a derived graph."""
+    pre = prelude or f"{_EDGES_MAT_CTE}, {_SYM_CTE}"
+    parts = [f"WITH {pre}, l0 AS MATERIALIZED (SELECT id, id AS lbl FROM verts)"]
     prev = "l0"
     for k in range(1, rounds + 1):
         parts.append(f""",
@@ -2972,6 +2994,7 @@ wedges AS MATERIALIZED (
               - epoch_us(ev.ts))::DOUBLE AS weight
   FROM edges e JOIN events ev ON ev.event_id = e.src)""",
         ),
+        "salsa": _salsa_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3595,3 +3618,32 @@ terms AS (
 SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 9) AS nll
 FROM terms GROUP BY doc_id
 """
+
+
+def _salsa_sql(rounds: int = 18) -> str:
+    """Mirror of operators/salsa.py salsa_scores(side='authority'):
+    FastSV components over the bipartite lift (hub h → 2h, authority a
+    → 2a+1 — parity separation means no self-loops by construction),
+    then the Lempel-Moran closed form (|A_C|·d_in)/(|A|·Σ_C d_in) as one
+    exact-integer-product division. Two extra FastSV rounds vs the plain
+    CC oracle: the bipartite lift doubles path lengths."""
+    prelude = f"""{_EDGES_MAT_CTE},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+bip AS MATERIALIZED (SELECT 2 * src AS u, 2 * dst + 1 AS v FROM de),
+sym AS MATERIALIZED (
+  SELECT u, v FROM bip UNION SELECT v, u FROM bip),
+verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)"""
+    final = """SELECT a.id,
+       round((c.na * a.din)::DOUBLE / (t.ta * c.dsum)::DOUBLE, 9)
+         AS score
+FROM (SELECT d.id, d.din, l.lbl AS comp
+      FROM (SELECT 2 * dst + 1 AS bid, dst AS id, count(*) AS din
+            FROM de GROUP BY dst) d
+      JOIN {labels} l ON l.id = d.bid) a
+JOIN (SELECT l.lbl AS comp, count(*) AS na, sum(d.din) AS dsum
+      FROM (SELECT 2 * dst + 1 AS bid, count(*) AS din
+            FROM de GROUP BY dst) d
+      JOIN {labels} l ON l.id = d.bid
+      GROUP BY l.lbl) c ON c.comp = a.comp
+CROSS JOIN (SELECT count(DISTINCT dst) AS ta FROM de) t"""
+    return _cc_sql(rounds=rounds, final=final, prelude=prelude)

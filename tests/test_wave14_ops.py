@@ -331,3 +331,49 @@ def test_decayed_pagerank_prefers_recent(spark):
     # both hubs receive their spokes' full rank regardless of scale of
     # w (w/wsum normalizes). Equal by symmetry:
     assert ranks[1] == pytest.approx(ranks[2], abs=1e-12)
+
+
+# ----------------------------------------------------------------- SALSA
+def test_salsa_closed_form_hand_graph(spark):
+    """Lempel-Moran closed form on a two-component support graph:
+    C1 = {h1, h3, a2, a4} (3 edges), C2 = {h5, a6} (1 edge)."""
+    from parallel_pagerank_spark.operators.salsa import salsa_scores
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (5, 6), (3, 2)],  # one duplicate
+        "src long, dst long",
+    )
+    a = {r["id"]: r["score"] for r in salsa_scores(edges).collect()}
+    h = {
+        r["id"]: r["score"]
+        for r in salsa_scores(edges, side="hub").collect()
+    }
+    assert a[2] == pytest.approx(4 / 9, abs=1e-15)
+    assert a[4] == pytest.approx(2 / 9, abs=1e-15)
+    assert a[6] == pytest.approx(1 / 3, abs=1e-15)
+    assert h[1] == pytest.approx(2 / 9, abs=1e-15)
+    assert h[3] == pytest.approx(4 / 9, abs=1e-15)
+    assert h[5] == pytest.approx(1 / 3, abs=1e-15)
+    # stationary distributions: each side sums to 1
+    assert sum(a.values()) == pytest.approx(1.0, abs=1e-12)
+    assert sum(h.values()) == pytest.approx(1.0, abs=1e-12)
+    with pytest.raises(ValueError):
+        salsa_scores(edges, side="both")
+
+
+def test_salsa_connected_support_is_degree_ratio(spark):
+    """With a CONNECTED support graph SALSA degenerates to normalized
+    in-degree — the textbook special case."""
+    from parallel_pagerank_spark.operators.salsa import salsa_scores
+
+    # star + chain, all authorities reachable via shared hubs
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (9, 3), (9, 1)], "src long, dst long"
+    )
+    a = {r["id"]: r["score"] for r in salsa_scores(edges).collect()}
+    # d_in: 1->2, 2->1, 3->2; total 5
+    assert a == {
+        1: pytest.approx(2 / 5, abs=1e-15),
+        2: pytest.approx(1 / 5, abs=1e-15),
+        3: pytest.approx(2 / 5, abs=1e-15),
+    }
