@@ -1606,6 +1606,24 @@ def _q_boilerplate(spark, sf_dir):
     )
 
 
+def _q_boilerplate_scrub(spark, sf_dir):
+    """Mine → REMOVE boilerplate end-to-end (functions/text.py
+    repeated_passages + remove_passages, same settings as the
+    `boilerplate` row): every doc's canonical text with mined passages
+    struck, plus the per-doc removal count — clean_text itself is
+    hash-checked, same mine→scrub symmetry as pii_scrub."""
+    from parallel_pagerank_spark.functions.text import (
+        remove_passages,
+        repeated_passages,
+    )
+
+    docs = _documents(spark, sf_dir)
+    mined = repeated_passages(
+        docs, min_docs=3, min_chars=15, delimiter=" the "
+    )
+    return remove_passages(docs, mined, delimiter=" the ")
+
+
 def _q_cluster_assign(spark, sf_dir):
     """Nearest-centroid assignment (functions/similarity.py
     assign_to_centroids — the k-means E-step): every embedding assigned
@@ -1719,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "pagerank_decayed10": _q_pagerank_decayed10,
         "salsa": _q_salsa,
+        "boilerplate_scrub": _q_boilerplate_scrub,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -2995,6 +3014,7 @@ wedges AS MATERIALIZED (
   FROM edges e JOIN events ev ON ev.event_id = e.src)""",
         ),
         "salsa": _salsa_sql(),
+        "boilerplate_scrub": _boilerplate_scrub_sql(3, 15, " the "),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3647,3 +3667,41 @@ JOIN (SELECT l.lbl AS comp, count(*) AS na, sum(d.din) AS dsum
       GROUP BY l.lbl) c ON c.comp = a.comp
 CROSS JOIN (SELECT count(DISTINCT dst) AS ta FROM de) t"""
     return _cc_sql(rounds=rounds, final=final, prelude=prelude)
+
+
+def _boilerplate_scrub_sql(min_docs: int, min_chars: int, delim: str) -> str:
+    """Mirror of _q_boilerplate_scrub: the _boilerplate_sql mining CTE,
+    then split-flag-reassemble (zipped parallel unnests for positions,
+    string_agg ORDER BY pos to rebuild — all-fragment docs coalesce to
+    '')."""
+    return f"""
+WITH bp AS MATERIALIZED (
+  SELECT passage FROM (
+    SELECT passage, count(*) AS n_docs FROM (
+      SELECT DISTINCT doc_id, passage FROM (
+        SELECT doc_id, trim(p) AS passage FROM (
+          SELECT doc_id,
+                 unnest(string_split({_NORM_TEXT_SQL}, '{delim}')) AS p
+          FROM documents))
+      WHERE length(passage) >= {min_chars})
+    GROUP BY passage)
+  WHERE n_docs >= {min_docs}),
+t AS MATERIALIZED (
+  SELECT doc_id, string_split({_NORM_TEXT_SQL}, '{delim}') AS ps
+  FROM documents),
+parts AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range(1, len(ps) + 1)) AS pos,
+         unnest(ps) AS part
+  FROM t),
+j AS (
+  SELECT p.doc_id, p.pos, p.part,
+         (bp.passage IS NOT NULL) AS is_bp
+  FROM parts p LEFT JOIN bp ON bp.passage = trim(p.part))
+SELECT doc_id,
+       count(*) FILTER (is_bp) AS n_removed,
+       coalesce(
+         string_agg(part, '{delim}' ORDER BY pos) FILTER (NOT is_bp),
+         '') AS clean_text
+FROM j GROUP BY doc_id
+"""

@@ -591,3 +591,61 @@ def redact_pii_sql(expr: str) -> str:
             f" '{token}', 'g')"
         )
     return out
+
+
+def remove_passages(
+    docs: DataFrame,
+    passages: DataFrame,
+    delimiter: str = ". ",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_removed, clean_text): strip mined boilerplate
+    passages from each document — the REMOVAL half of C4's repeated-
+    passage rule (:func:`repeated_passages` is the mining half; feed its
+    output straight in as ``passages`` with a ``passage`` column).
+
+    The document's canonical normalized text is split on the same
+    literal ``delimiter`` the miner used; fragments whose trimmed form
+    matches a mined passage are dropped, the survivors are re-joined
+    with the delimiter in original order. ``clean_text`` is the
+    canonical (normalized) text — the original column is never mutated
+    (the engine's per-turn text-equality invariant), and a document
+    whose every fragment is boilerplate comes back with
+    ``clean_text = ''``, not a missing row.
+
+    Scale shape: one broadcast left join on the passage key (mined
+    boilerplate sets are tiny relative to the corpus) and one hash
+    aggregation on the doc id to reassemble — order restored with an
+    array_sort over (pos, fragment) structs, no window sort.
+    """
+    parts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(
+                normalized_text(F.col(text_col)),
+                "\\Q" + delimiter + "\\E",
+            )
+        ).alias("pos", "part"),
+    ).withColumn("pkey", F.trim(F.col("part")))
+    bp = passages.select(F.col("passage").alias("pkey")).distinct()
+    flagged = parts.join(
+        F.broadcast(bp.withColumn("is_bp", F.lit(True))), "pkey", "left"
+    ).withColumn("is_bp", F.coalesce(F.col("is_bp"), F.lit(False)))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.when(F.col("is_bp"), 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_bp"),
+                            F.struct("pos", "part"),
+                        )
+                    )
+                ),
+                lambda s: s["part"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+    )

@@ -377,3 +377,52 @@ def test_salsa_connected_support_is_degree_ratio(spark):
         2: pytest.approx(1 / 5, abs=1e-15),
         3: pytest.approx(2 / 5, abs=1e-15),
     }
+
+
+# ------------------------------------------------------ passage removal
+def test_remove_passages_hand_corpus(spark):
+    from parallel_pagerank_spark.functions.text import (
+        remove_passages,
+        repeated_passages,
+    )
+
+    # 'subscribe to our newsletter' is boilerplate in 3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, "Real content one. Subscribe to our newsletter. More text"),
+            (2, "Other stuff here. Subscribe to our newsletter. Tail bit"),
+            (3, "Subscribe to our newsletter. Unique middle part here"),
+            (4, "Nothing shared in this one. Completely original text"),
+            (5, "Subscribe to our newsletter"),  # all-boilerplate doc
+        ],
+        "doc_id long, text string",
+    )
+    mined = repeated_passages(docs, min_docs=3, min_chars=10)
+    assert [r["passage"] for r in mined.collect()] == [
+        "subscribe to our newsletter"
+    ]
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in remove_passages(docs, mined).collect()
+    }
+    assert got[1] == (1, "real content one. more text")
+    assert got[2] == (1, "other stuff here. tail bit")
+    assert got[3] == (1, "unique middle part here")
+    assert got[4] == (0, "nothing shared in this one. completely original text")
+    assert got[5] == (1, "")  # row survives, text emptied
+    assert len(got) == 5
+
+
+def test_remove_passages_preserves_order_and_dups(spark):
+    """Fragment order is restored after the shuffle, and a boilerplate
+    passage repeated WITHIN one doc is removed at every occurrence."""
+    from parallel_pagerank_spark.functions.text import remove_passages
+
+    docs = spark.createDataFrame(
+        [(1, "keep a. drop me. keep b. drop me. keep c")],
+        "doc_id long, text string",
+    )
+    bp = spark.createDataFrame([("drop me",)], "passage string")
+    row = remove_passages(docs, bp).first()
+    assert row["n_removed"] == 2
+    assert row["clean_text"] == "keep a. keep b. keep c"
