@@ -1624,6 +1624,38 @@ def _q_boilerplate_scrub(spark, sf_dir):
     return remove_passages(docs, mined, delimiter=" the ")
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Sequence-level duplicate mining (functions/spans.py
+    duplicate_spans — the Lee et al. ACL'22 exact-substring rule at
+    6-token granularity): every 6-token sliding window appearing in
+    >= 2 distinct documents, with distinct-doc and total-occurrence
+    counts. One span-keyed aggregation; all-integer output, hash-exact."""
+    from parallel_pagerank_spark.functions.spans import duplicate_spans
+
+    return duplicate_spans(_documents(spark, sf_dir), k=6, min_docs=2)
+
+
+def _q_span_scrub(spark, sf_dir):
+    """Mine -> REMOVE duplicated 6-token windows end-to-end
+    (functions/spans.py remove_duplicate_spans): per doc the canonical
+    text with every occurrence of every corpus-duplicated window
+    struck (overlaps merge — coverage is a position set), survivors
+    re-joined in order via an indexed array filter (no window sort).
+    clean_text itself is hash-checked, the pii_scrub/boilerplate_scrub
+    mine->scrub symmetry."""
+    from parallel_pagerank_spark.functions.spans import (
+        remove_duplicate_spans,
+    )
+
+    out = remove_duplicate_spans(_documents(spark, sf_dir), k=6, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "clean_text",
+    )
+
+
 def _q_cluster_assign(spark, sf_dir):
     """Nearest-centroid assignment (functions/similarity.py
     assign_to_centroids — the k-means E-step): every embedding assigned
@@ -1738,6 +1770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_decayed10": _q_pagerank_decayed10,
         "salsa": _q_salsa,
         "boilerplate_scrub": _q_boilerplate_scrub,
+        "dup_spans": _q_dup_spans,
+        "span_scrub": _q_span_scrub,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3015,6 +3049,8 @@ wedges AS MATERIALIZED (
         ),
         "salsa": _salsa_sql(),
         "boilerplate_scrub": _boilerplate_scrub_sql(3, 15, " the "),
+        "dup_spans": _span_cte(6, 2) + "\nSELECT span, n_docs, n_occ FROM dup",
+        "span_scrub": _span_scrub_sql(6, 2),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3667,6 +3703,65 @@ JOIN (SELECT l.lbl AS comp, count(*) AS na, sum(d.din) AS dsum
       GROUP BY l.lbl) c ON c.comp = a.comp
 CROSS JOIN (SELECT count(DISTINCT dst) AS ta FROM de) t"""
     return _cc_sql(rounds=rounds, final=final, prelude=prelude)
+
+
+def _span_cte(k: int, min_docs: int) -> str:
+    """Shared CTE prefix for the duplicate-span pair (mirror of
+    functions/spans.py token_spans + duplicate_spans): zipped parallel
+    unnests for token positions, a lead(w, j)-chain to materialize each
+    k-token sliding window (NULL-chained past the doc end, filtered by
+    the last lead), then the span-keyed distinct-doc / occurrence
+    aggregation."""
+    leads = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {j}) OVER win" for j in range(1, k)]
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         generate_subscripts(string_split({_NORM_TEXT_SQL}, ' '), 1) AS pos,
+         unnest(string_split({_NORM_TEXT_SQL}, ' ')) AS w
+  FROM documents WHERE length({_NORM_TEXT_SQL}) > 0),
+wins AS MATERIALIZED (
+  SELECT doc_id, pos, {leads} AS span,
+         lead(w, {k - 1}) OVER win AS wk
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+spans AS MATERIALIZED (
+  SELECT doc_id, pos, span FROM wins WHERE wk IS NOT NULL),
+dup AS MATERIALIZED (
+  SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+  FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs})"""
+
+
+def _span_scrub_sql(k: int, min_docs: int) -> str:
+    """Mirror of _q_span_scrub: duplicated window starts expand to
+    covered token positions (start + range(0, k) — overlaps merge via
+    DISTINCT), survivors re-joined with string_agg ORDER BY pos;
+    all-covered and empty docs coalesce to ''."""
+    return (
+        _span_cte(k, min_docs)
+        + f""",
+starts AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (span)),
+cov AS (SELECT DISTINCT doc_id, pos + g.range AS cpos
+        FROM starts, range(0, {k}) g),
+keep AS (SELECT t.doc_id, t.pos, t.w
+         FROM tok t LEFT JOIN cov c
+           ON t.doc_id = c.doc_id AND t.pos = c.cpos
+         WHERE c.cpos IS NULL),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY pos) AS clean
+        FROM keep GROUP BY doc_id),
+nt AS (SELECT doc_id,
+              CASE WHEN length({_NORM_TEXT_SQL}) = 0 THEN 0
+                   ELSE len(string_split({_NORM_TEXT_SQL}, ' ')) END
+                AS n_tokens
+       FROM documents)
+SELECT nt.doc_id,
+       nt.n_tokens::BIGINT AS n_tokens,
+       (nt.n_tokens - coalesce(agg.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(agg.clean, '') AS clean_text
+FROM nt LEFT JOIN agg USING (doc_id)
+"""
+    )
 
 
 def _boilerplate_scrub_sql(min_docs: int, min_chars: int, delim: str) -> str:

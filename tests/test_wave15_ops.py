@@ -1,0 +1,146 @@
+"""Wave-15 operators: sequence-level duplicate-span dedup (Lee et al.
+ACL'22 exact-substring rule at k-token granularity) — mine + scrub."""
+
+from __future__ import annotations
+
+import pytest
+
+
+# A shared 6-token phrase in docs 1/2/4 (doc 4 = exact copy of doc 1),
+# an overlapping repeat inside doc 5, a short doc, an empty doc.
+SPAN_DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta unique one"),
+    (2, "Prefix alpha beta gamma delta epsilon zeta tail two"),
+    (3, "totally different words with no repeats anywhere at all"),
+    (4, "alpha beta gamma delta epsilon zeta eta unique one"),
+    (5, "x p q r s t u p q r s t u y"),
+    (6, "too short"),
+    (7, ""),
+]
+
+
+def _py_tokens(text):
+    return [w for w in text.lower().split() if w]
+
+
+def _py_spans(docs, k):
+    out = []
+    for doc_id, text in docs:
+        toks = _py_tokens(text)
+        for i in range(len(toks) - k + 1):
+            out.append((doc_id, i + 1, " ".join(toks[i : i + k])))
+    return out
+
+
+def _py_duplicates(docs, k, min_docs):
+    spans = _py_spans(docs, k)
+    by_span = {}
+    for doc_id, _, s in spans:
+        d = by_span.setdefault(s, {"docs": set(), "n": 0})
+        d["docs"].add(doc_id)
+        d["n"] += 1
+    return {
+        s: (len(d["docs"]), d["n"])
+        for s, d in by_span.items()
+        if len(d["docs"]) >= min_docs
+    }
+
+
+def _py_scrub(docs, k, min_docs):
+    dups = _py_duplicates(docs, k, min_docs)
+    out = {}
+    for doc_id, text in docs:
+        toks = _py_tokens(text)
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if " ".join(toks[i : i + k]) in dups:
+                covered.update(range(i, i + k))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        out[doc_id] = (len(toks), len(covered), " ".join(kept))
+    return out
+
+
+@pytest.fixture()
+def span_docs(spark):
+    return spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+
+
+def test_duplicate_spans_matches_python_oracle(spark, span_docs):
+    from parallel_pagerank_spark.functions.spans import duplicate_spans
+
+    got = {
+        r["span"]: (r["n_docs"], r["n_occ"])
+        for r in duplicate_spans(span_docs, k=6, min_docs=2).collect()
+    }
+    assert got == _py_duplicates(SPAN_DOCS, 6, 2)
+    # the shared phrase is found across docs 1/2/4
+    assert got["alpha beta gamma delta epsilon zeta"] == (3, 3)
+
+
+def test_duplicate_spans_within_one_doc_needs_min_docs_1(spark):
+    """Doc 5 repeats 'p q r s t u' twice WITHIN itself: min_docs=2
+    misses it (1 distinct doc), min_docs=1 with n_occ>=2 catches it."""
+    from parallel_pagerank_spark.functions.spans import duplicate_spans
+
+    docs = spark.createDataFrame(SPAN_DOCS, "doc_id long, text string")
+    two_docs = duplicate_spans(docs, k=6, min_docs=2)
+    assert (
+        two_docs.filter("span = 'p q r s t u'").count() == 0
+    )
+    within = duplicate_spans(docs, k=6, min_docs=1).filter(
+        "span = 'p q r s t u' and n_occ >= 2"
+    )
+    assert within.collect()[0]["n_occ"] == 2
+
+
+def test_remove_duplicate_spans_matches_python_oracle(spark, span_docs):
+    from parallel_pagerank_spark.functions.spans import remove_duplicate_spans
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(span_docs, k=6, min_docs=2).collect()
+    }
+    assert got == _py_scrub(SPAN_DOCS, 6, 2)
+    # every doc comes back exactly once, including empty + short docs
+    assert set(got) == {d for d, _ in SPAN_DOCS}
+    # exact-copy docs 1 and 4: every window duplicated -> all 9 tokens
+    # covered (overlapping windows merge), clean_text = ''
+    assert got[1] == (9, 9, "")
+    assert got[4] == (9, 9, "")
+    # doc 2 keeps its unique prefix/suffix tokens
+    assert got[2][2] == "prefix tail two"
+    # untouched docs: zero removed, canonical text survives
+    assert got[3][1] == 0
+    assert got[7] == (0, 0, "")
+
+
+def test_remove_accepts_premined_spans(spark, span_docs):
+    """A pre-filtered mined frame drives the scrub (the mine->inspect->
+    scrub workflow); only the supplied spans are struck."""
+    from parallel_pagerank_spark.functions.spans import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    mined = duplicate_spans(span_docs, k=6, min_docs=2).filter(
+        "span = 'alpha beta gamma delta epsilon zeta'"
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(span_docs, mined, k=6).collect()
+    }
+    assert got[1] == "eta unique one"
+    assert got[2] == "prefix tail two"
+    assert got[5] == "x p q r s t u p q r s t u y".lower()
+
+
+def test_spans_validation(spark, span_docs):
+    from parallel_pagerank_spark.functions.spans import (
+        duplicate_spans,
+        token_spans,
+    )
+
+    with pytest.raises(ValueError):
+        token_spans(span_docs, k=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(span_docs, min_docs=0)
