@@ -1485,6 +1485,26 @@ def _q_adamic_adar(spark, sf_dir):
     )
 
 
+def _q_jaccard_linkpred(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction over the undirected
+    reply∪handoff graph (operators/linkanalysis.py jaccard_linkpred):
+    for each non-adjacent pair sharing ≥1 neighbor,
+    |N(u)∩N(v)| / |N(u)∪N(v)| — the size-normalized CIKM'03 predictor
+    next to adamic_adar's degree-damped one. n_common is all-integer;
+    jaccard is ONE IEEE division of exact integers, rounded 9 (bit-
+    reproducible). degree_cap=1000 never hit at driver SFs; the oracle
+    applies it anyway so formulas match exactly."""
+    from parallel_pagerank_spark.operators.linkanalysis import (
+        jaccard_linkpred,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    pairs = jaccard_linkpred(event_graph_edges(_events(spark, sf_dir)))
+    return pairs.select(
+        "u", "v", "n_common", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
 def _q_url_domains(spark, sf_dir):
     """URL extraction → per-domain stats (functions/urls.py): the
     C4/CCNet-style per-domain curation readout. The synthetic corpus has
@@ -1772,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_scrub": _q_boilerplate_scrub,
         "dup_spans": _q_dup_spans,
         "span_scrub": _q_span_scrub,
+        "jaccard_linkpred": _q_jaccard_linkpred,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3051,6 +3072,7 @@ wedges AS MATERIALIZED (
         "boilerplate_scrub": _boilerplate_scrub_sql(3, 15, " the "),
         "dup_spans": _span_cte(6, 2) + "\nSELECT span, n_docs, n_occ FROM dup",
         "span_scrub": _span_scrub_sql(6, 2),
+        "jaccard_linkpred": _jaccard_linkpred_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3611,6 +3633,37 @@ pairs AS (
   GROUP BY a.x, b.x)
 SELECT p.u, p.v, p.n_common, round(p.score, 9) AS score
 FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = p.u AND und.v = p.v)
+"""
+
+
+def _jaccard_linkpred_sql() -> str:
+    """Mirror of operators/linkanalysis.py jaccard_linkpred (undirected
+    distinct neighborhoods, cap 1000, TRUE degrees in the denominator,
+    existing pairs anti-joined)."""
+    return f"""WITH {_EDGES_MAT_CTE},
+nbr AS MATERIALIZED (
+  SELECT DISTINCT k, x FROM (
+    SELECT src AS k, dst AS x FROM edges
+    UNION ALL SELECT dst AS k, src AS x FROM edges)
+  WHERE k <> x),
+deg AS MATERIALIZED (SELECT k, count(*) AS deg FROM nbr GROUP BY k),
+kept AS MATERIALIZED (
+  SELECT nbr.k, nbr.x FROM nbr JOIN deg ON deg.k = nbr.k
+  WHERE deg.deg <= 1000),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+pairs AS (
+  SELECT a.x AS u, b.x AS v, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.k = b.k AND a.x < b.x
+  GROUP BY a.x, b.x)
+SELECT p.u, p.v, p.n_common,
+       round(p.n_common::DOUBLE
+             / (du.deg + dv.deg - p.n_common)::DOUBLE, 9) AS jaccard
+FROM pairs p
+JOIN deg du ON du.k = p.u
+JOIN deg dv ON dv.k = p.v
 WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = p.u AND und.v = p.v)
 """
 

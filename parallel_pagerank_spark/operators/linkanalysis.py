@@ -163,6 +163,86 @@ def adamic_adar(
     return pairs
 
 
+def jaccard_linkpred(
+    edges: DataFrame,
+    degree_cap: int = 1000,
+    min_common: int = 1,
+    exclude_existing: bool = True,
+) -> DataFrame:
+    """→ (u, v, n_common, jaccard) with u < v: neighborhood-Jaccard
+    link prediction (Liben-Nowell & Kleinberg CIKM'03's Jaccard
+    predictor) — J(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the
+    undirected distinct neighborhoods (self-loops and duplicate edges
+    ignored), computed as n_common / (deg(u) + deg(v) − n_common).
+
+    Compared with :func:`adamic_adar` this normalizes by neighborhood
+    SIZE, so two low-degree vertices sharing most of their few
+    neighbors outrank two hubs sharing many — the set-overlap analogue
+    of the n-gram Jaccard used for document dedup, applied to the link
+    graph. ``exclude_existing=True`` keeps only non-adjacent pairs
+    (the prediction setting proper).
+
+    Scale design: pair generation is the same hub-capped self-join
+    through the shared neighbor k as :func:`common_neighbor_pairs`
+    (report exclusions via :func:`excluded_hubs_undirected`; worst case
+    O(V · cap²) under any skew). Denominator degrees are the TRUE
+    uncapped degrees — with hubs excluded from generation, n_common is
+    a lower bound and so is the score (documented cap semantics, never
+    an overcount). The score is a single IEEE division of exact
+    integers — bit-reproducible across engines. Shuffles: one distinct
+    on (k, x), one degree agg, one self-join on k, one pair agg, two
+    vertex-keyed degree joins, plus one anti-join when excluding.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    nbr = (
+        edges.select(F.col("src").alias("k"), F.col("dst").alias("x"))
+        .union(edges.select(F.col("dst").alias("k"), F.col("src").alias("x")))
+        .where(F.col("k") != F.col("x"))
+        .distinct()
+    )
+    # true (uncapped) undirected degree of every vertex, keyed by x for
+    # the denominator joins: deg(x) = # rows where x is the neighbor
+    # owner — i.e. group nbr by the OWNER side k, then rename.
+    deg = nbr.groupBy("k").agg(F.count("*").alias("deg"))
+    kept = nbr.join(
+        deg.where(F.col("deg") <= degree_cap).select("k"), "k"
+    )
+    a = kept.select("k", F.col("x").alias("u"))
+    b = kept.select("k", F.col("x").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    du = deg.select(F.col("k").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("k").alias("v"), F.col("deg").alias("dv"))
+    scored = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    if exclude_existing:
+        und = edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        ).where(F.col("u") != F.col("v")).distinct()
+        scored = scored.join(und, ["u", "v"], "left_anti")
+    return scored
+
+
 def excluded_hubs_undirected(
     edges: DataFrame, degree_cap: int = 1000
 ) -> DataFrame:

@@ -134,6 +134,101 @@ def test_remove_accepts_premined_spans(spark, span_docs):
     assert got[5] == "x p q r s t u p q r s t u y".lower()
 
 
+# --------------------------------------------- neighborhood-Jaccard linkpred
+
+LP_EDGES = [
+    (1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 1),
+    (2, 2),          # self-loop: ignored
+    (3, 2),          # reverse duplicate: neighborhoods are undirected sets
+]
+
+
+def _py_jaccard(edges, exclude_existing=True, min_common=1):
+    nbrs: dict[int, set[int]] = {}
+    adj = set()
+    for s, t in edges:
+        if s == t:
+            continue
+        nbrs.setdefault(s, set()).add(t)
+        nbrs.setdefault(t, set()).add(s)
+        adj.add((min(s, t), max(s, t)))
+    out = {}
+    ids = sorted(nbrs)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1 :]:
+            c = len(nbrs[u] & nbrs[v])
+            if c < min_common:
+                continue
+            if exclude_existing and (u, v) in adj:
+                continue
+            out[(u, v)] = (c, c / (len(nbrs[u]) + len(nbrs[v]) - c))
+    return out
+
+
+def test_jaccard_linkpred_matches_python_oracle(spark):
+    from parallel_pagerank_spark.operators.linkanalysis import (
+        jaccard_linkpred,
+    )
+    from tests.conftest import edges_df
+
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_linkpred(edges_df(spark, LP_EDGES)).collect()
+    }
+    exp = _py_jaccard(LP_EDGES)
+    assert set(got) == set(exp)
+    for k, (c, j) in exp.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(j, abs=1e-12)
+    # adjacent pairs excluded in the prediction setting
+    assert (1, 2) not in got and (3, 4) not in got
+
+
+def test_jaccard_linkpred_include_existing(spark):
+    from parallel_pagerank_spark.operators.linkanalysis import (
+        jaccard_linkpred,
+    )
+    from tests.conftest import edges_df
+
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["jaccard"])
+        for r in jaccard_linkpred(
+            edges_df(spark, LP_EDGES), exclude_existing=False
+        ).collect()
+    }
+    exp = _py_jaccard(LP_EDGES, exclude_existing=False)
+    assert set(got) == set(exp)
+    # hand check: N(1)={2,3,5}, N(2)={1,3} -> common={3},
+    # J = 1 / (3 + 2 - 1) = 0.25
+    assert got[(1, 2)] == (1, pytest.approx(0.25))
+
+
+def test_jaccard_linkpred_degree_cap_is_lower_bound(spark):
+    """With the shared star-center capped out of pair generation, its
+    leaves lose that common neighbor: fewer/lower scores, never more."""
+    from parallel_pagerank_spark.operators.linkanalysis import (
+        jaccard_linkpred,
+    )
+    from tests.conftest import edges_df
+
+    star = [(100, i) for i in range(1, 8)] + [(1, 2)]
+    full = {
+        (r["u"], r["v"]): r["jaccard"]
+        for r in jaccard_linkpred(
+            edges_df(spark, star), exclude_existing=False
+        ).collect()
+    }
+    capped = {
+        (r["u"], r["v"]): r["jaccard"]
+        for r in jaccard_linkpred(
+            edges_df(spark, star), degree_cap=5, exclude_existing=False
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, j in capped.items():
+        assert j <= full[k] + 1e-12
+
+
 def test_spans_validation(spark, span_docs):
     from parallel_pagerank_spark.functions.spans import (
         duplicate_spans,
