@@ -1505,6 +1505,33 @@ def _q_jaccard_linkpred(spark, sf_dir):
     )
 
 
+def _q_seq_pack(spark, sf_dir):
+    """Sequence packing slice map (functions/packing.py pack_sequences —
+    the GPT concat-then-chunk input pipeline): docs concatenated in
+    doc_id order with a trailing EOS each, the global token stream cut
+    into 64-token windows; each row says which 1-based token range of
+    which doc lands at which offset of which sequence. Global offsets
+    via the two-level prefix sum (per-partition cumsum + P driver-side
+    bases), window assignment array-side. All-integer, hash-exact."""
+    from parallel_pagerank_spark.functions.packing import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), seq_len=64)
+
+
+def _q_seq_pack_text(spark, sf_dir):
+    """Materialized packed sequences (functions/packing.py
+    pack_sequence_text): the seq_pack slice map joined back to the
+    (tokens + EOS) arrays, slices cut array-side, reassembled per
+    sequence with an array_sort over (seq_pos, text) structs — ONE
+    shuffle keyed on seq_id, every key bounded by seq_len tokens (no
+    skew hazard by construction). seq_text itself is hash-checked."""
+    from parallel_pagerank_spark.functions.packing import (
+        pack_sequence_text,
+    )
+
+    return pack_sequence_text(_documents(spark, sf_dir), seq_len=64)
+
+
 def _q_url_domains(spark, sf_dir):
     """URL extraction → per-domain stats (functions/urls.py): the
     C4/CCNet-style per-domain curation readout. The synthetic corpus has
@@ -1793,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "span_scrub": _q_span_scrub,
         "jaccard_linkpred": _q_jaccard_linkpred,
+        "seq_pack": _q_seq_pack,
+        "seq_pack_text": _q_seq_pack_text,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3073,6 +3102,9 @@ wedges AS MATERIALIZED (
         "dup_spans": _span_cte(6, 2) + "\nSELECT span, n_docs, n_occ FROM dup",
         "span_scrub": _span_scrub_sql(6, 2),
         "jaccard_linkpred": _jaccard_linkpred_sql(),
+        "seq_pack": _pack_cte(64)
+        + "\nSELECT seq_id, doc_id, tok_start, seq_pos, slice_len FROM sm",
+        "seq_pack_text": _pack_text_sql(64),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3783,6 +3815,61 @@ spans AS MATERIALIZED (
 dup AS MATERIALIZED (
   SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
   FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= {min_docs})"""
+
+
+def _pack_cte(seq_len: int) -> str:
+    """Shared CTE prefix for the packing pair (mirror of
+    functions/packing.py): per-doc token counts (+1 EOS), a window
+    prefix sum in doc_id order for the global stream offsets, then
+    each doc laterally expanded to the sequences it overlaps with
+    exact-integer greatest/least slice arithmetic."""
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length({_NORM_TEXT_SQL}) = 0 THEN 0
+              ELSE len(string_split({_NORM_TEXT_SQL}, ' ')) END + 1 AS n
+  FROM documents),
+offs AS MATERIALIZED (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS off
+  FROM counts),
+sm AS MATERIALIZED (
+  SELECT g.seq_id::BIGINT AS seq_id, doc_id,
+         (greatest(off, g.seq_id * {seq_len}) - off + 1)::BIGINT
+           AS tok_start,
+         (greatest(off, g.seq_id * {seq_len})
+          - g.seq_id * {seq_len})::BIGINT AS seq_pos,
+         (least(off + n, (g.seq_id + 1) * {seq_len})
+          - greatest(off, g.seq_id * {seq_len}))::BIGINT AS slice_len
+  FROM offs, unnest(generate_series(off // {seq_len},
+                                    (off + n - 1) // {seq_len}))
+       AS g(seq_id))"""
+
+
+def _pack_text_sql(seq_len: int) -> str:
+    """Mirror of _q_seq_pack_text: slices cut from the (tokens + EOS)
+    lists by 1-based inclusive list slicing, reassembled per sequence
+    with string_agg ORDER BY seq_pos."""
+    return (
+        _pack_cte(seq_len)
+        + f""",
+ext AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length({_NORM_TEXT_SQL}) = 0 THEN ['<eos>']
+              ELSE string_split({_NORM_TEXT_SQL}, ' ') || ['<eos>'] END
+           AS toks
+  FROM documents),
+pieces AS (
+  SELECT sm.seq_id, sm.seq_pos, sm.slice_len,
+         array_to_string(toks[tok_start : tok_start + slice_len - 1], ' ')
+           AS txt
+  FROM sm JOIN ext USING (doc_id))
+SELECT seq_id, sum(slice_len)::BIGINT AS n_tokens,
+       string_agg(txt, ' ' ORDER BY seq_pos) AS seq_text
+FROM pieces GROUP BY seq_id"""
+    )
 
 
 def _span_scrub_sql(k: int, min_docs: int) -> str:

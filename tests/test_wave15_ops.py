@@ -239,3 +239,135 @@ def test_spans_validation(spark, span_docs):
         token_spans(span_docs, k=0)
     with pytest.raises(ValueError):
         duplicate_spans(span_docs, min_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (functions/packing.py): concat-then-chunk slice map +
+# materialized sequences vs a sequential python oracle.
+# ---------------------------------------------------------------------------
+
+PACK_DOCS = [
+    (10, "alpha beta gamma delta"),
+    (11, ""),
+    (12, "one two three four five six seven eight nine ten"),
+    (13, "tail"),
+    (14, "Mixed   Case\twhitespace  run"),
+]
+
+EOS = "<eos>"
+
+
+def _py_pack_map(docs, L):
+    rows, g = [], 0
+    for doc_id, text in sorted(docs):
+        n = len(_py_tokens(text)) + 1  # + EOS
+        s = g // L
+        while s * L < g + n:
+            lo, hi = max(g, s * L), min(g + n, (s + 1) * L)
+            rows.append((s, doc_id, lo - g + 1, lo - s * L, hi - lo))
+            s += 1
+        g += n
+    return sorted(rows)
+
+
+def _py_pack_text(docs, L):
+    stream = []
+    for _, text in sorted(docs):
+        stream.extend(_py_tokens(text) + [EOS])
+    out = []
+    for s in range(0, (len(stream) + L - 1) // L):
+        chunk = stream[s * L : (s + 1) * L]
+        out.append((s, len(chunk), " ".join(chunk)))
+    return sorted(out)
+
+
+@pytest.fixture()
+def pack_docs(spark):
+    return spark.createDataFrame(PACK_DOCS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("L", [1, 4, 7, 64])
+def test_pack_sequences_vs_python(spark, pack_docs, L):
+    from parallel_pagerank_spark.functions.packing import pack_sequences
+
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["tok_start"], r["seq_pos"], r["slice_len"])
+        for r in pack_sequences(pack_docs, seq_len=L).collect()
+    )
+    assert got == _py_pack_map(PACK_DOCS, L)
+
+
+def test_pack_sequences_invariants(spark, pack_docs):
+    from parallel_pagerank_spark.functions.packing import pack_sequences
+
+    L = 5
+    rows = pack_sequences(pack_docs, seq_len=L).collect()
+    total = sum(len(_py_tokens(t)) + 1 for _, t in PACK_DOCS)
+    # every sequence is exactly full except possibly the last
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], 0)
+        by_seq[r["seq_id"]] += r["slice_len"]
+    last = max(by_seq)
+    assert set(by_seq) == set(range(last + 1))  # contiguous ids from 0
+    for s, n in by_seq.items():
+        assert n == (L if s < last else total - last * L)
+    # every doc's slices partition 1..n_tok+1
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["tok_start"], r["slice_len"])
+        )
+    for doc_id, text in PACK_DOCS:
+        pieces = sorted(by_doc[doc_id])
+        expect_start = 1
+        for start, ln in pieces:
+            assert start == expect_start
+            expect_start += ln
+        assert expect_start - 1 == len(_py_tokens(text)) + 1
+
+
+@pytest.mark.parametrize("L", [3, 6, 64])
+def test_pack_sequence_text_vs_python(spark, pack_docs, L):
+    from parallel_pagerank_spark.functions.packing import pack_sequence_text
+
+    got = sorted(
+        (r["seq_id"], r["n_tokens"], r["seq_text"])
+        for r in pack_sequence_text(pack_docs, seq_len=L).collect()
+    )
+    assert got == _py_pack_text(PACK_DOCS, L)
+
+
+def test_pack_drop_last(spark, pack_docs):
+    from parallel_pagerank_spark.functions.packing import (
+        pack_sequence_text,
+        pack_sequences,
+    )
+
+    L = 5
+    total = sum(len(_py_tokens(t)) + 1 for _, t in PACK_DOCS)
+    n_full = total // L
+    kept = pack_sequences(pack_docs, seq_len=L, drop_last=True)
+    assert set(r["seq_id"] for r in kept.collect()) == set(range(n_full))
+    txt = pack_sequence_text(pack_docs, seq_len=L, drop_last=True).collect()
+    assert all(r["n_tokens"] == L for r in txt)
+
+
+def test_pack_deterministic_under_repartition(spark, pack_docs):
+    from parallel_pagerank_spark.functions.packing import pack_sequences
+
+    a = sorted(map(tuple, pack_sequences(pack_docs, seq_len=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(pack_docs.repartition(7), seq_len=4).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_validation(spark, pack_docs):
+    from parallel_pagerank_spark.functions.packing import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(pack_docs, seq_len=0)
