@@ -1505,6 +1505,22 @@ def _q_jaccard_linkpred(spark, sf_dir):
     )
 
 
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 per (doc, term) (functions/text.py bm25 — the
+    Robertson/Walker ranking function, Lucene positive-idf variant)
+    next to doc_tfidf's tf-idf. dl is taken from the token array
+    BEFORE the explode and carried through the tf aggregation, so the
+    corpus shuffles once on (doc, term); df broadcast back. Rank-free
+    full table, values rounded 6 (the doc_tfidf ln-ulp discipline);
+    tf/dl all-integer."""
+    from parallel_pagerank_spark.functions.text import bm25
+
+    out = bm25(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id", "term", "tf", "dl", F.round("bm25", 6).alias("bm25")
+    )
+
+
 def _q_seq_pack(spark, sf_dir):
     """Sequence packing slice map (functions/packing.py pack_sequences —
     the GPT concat-then-chunk input pipeline): docs concatenated in
@@ -1822,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_linkpred": _q_jaccard_linkpred,
         "seq_pack": _q_seq_pack,
         "seq_pack_text": _q_seq_pack_text,
+        "bm25": _q_bm25,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3105,6 +3122,25 @@ wedges AS MATERIALIZED (
         "seq_pack": _pack_cte(64)
         + "\nSELECT seq_id, doc_id, tok_start, seq_pos, slice_len FROM sm",
         "seq_pack_text": _pack_text_sql(64),
+        "bm25": f"""
+WITH norm AS (SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents),
+base AS (SELECT doc_id,
+                CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+                     ELSE string_split(t, ' ') END AS toks
+         FROM norm),
+toks AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+         FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+      FROM (SELECT len(toks)::BIGINT AS dl FROM base WHERE len(toks) > 0))
+SELECT tf.doc_id, tf.term, tf.tf, tf.dl,
+       round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl)), 6) AS bm25
+FROM tf JOIN df USING (term) CROSS JOIN s
+""",
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(

@@ -259,6 +259,76 @@ def tf_idf(
     )
 
 
+def bm25(
+    docs: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 per ``(doc, term)`` over whitespace tokens of the
+    canonical normalized text: ``(doc_id, term, tf, dl, bm25)`` — the
+    probabilistic ranking function of Robertson & Walker SIGIR'94, in
+    the always-positive idf variant Lucene ships::
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(d, t) = idf(t) * tf * (k1+1)
+                      / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    ``N`` and ``avgdl`` are over documents with >= 1 token (token-free
+    docs produce no (doc, term) rows and would only dilute avgdl).
+
+    Scale shape (same discipline as :func:`tf_idf`): the document
+    length ``dl`` is taken from the token ARRAY before the explode and
+    carried through the tf aggregation as a ``max`` — so the corpus
+    shuffles ONCE, on (doc, term). The df table (|vocabulary| rows) is
+    broadcast back; N/avgdl arrive via a broadcast 1-row cross join
+    keeping the plan lazy (no driver-side count action).
+    """
+    if k1 < 0:
+        raise ValueError(f"k1 must be >= 0, got {k1}")
+    if not 0 <= b <= 1:
+        raise ValueError(f"b must be in [0, 1], got {b}")
+    norm = normalized_text(F.col(text_col))
+    toks_arr = F.when(
+        F.length(norm) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(norm, " ", -1))
+    base = docs.select(F.col(id_col), toks_arr.alias("toks"))
+    exploded = base.select(
+        id_col,
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = exploded.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = (
+        base.select(F.size("toks").cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "dl",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("bm25"),
+        )
+    )
+
+
 def repetition_signals(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -371,3 +371,77 @@ def test_pack_validation(spark, pack_docs):
 
     with pytest.raises(ValueError):
         pack_sequences(pack_docs, seq_len=0)
+
+
+# ---------------------------------------------------------------------------
+# BM25 (functions/text.py bm25) vs hand math.
+# ---------------------------------------------------------------------------
+
+BM_DOCS = [
+    (1, "apple banana apple cherry"),
+    (2, "banana banana banana"),
+    (3, "cherry date elderberry fig grape"),
+    (4, ""),
+]
+
+
+def _py_bm25(docs, k1=1.2, b=0.75):
+    import math
+    from collections import Counter
+
+    per = {
+        d: Counter(_py_tokens(t)) for d, t in docs if _py_tokens(t)
+    }
+    n = len(per)
+    avgdl = sum(sum(c.values()) for c in per.values()) / n
+    df = Counter()
+    for c in per.values():
+        df.update(c.keys())
+    out = {}
+    for d, c in per.items():
+        dl = sum(c.values())
+        for t, tf in c.items():
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            out[(d, t)] = (
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            )
+    return out
+
+
+@pytest.mark.parametrize("k1,b", [(1.2, 0.75), (2.0, 0.0), (0.0, 1.0)])
+def test_bm25_vs_python(spark, k1, b):
+    from parallel_pagerank_spark.functions.text import bm25
+
+    docs = spark.createDataFrame(BM_DOCS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"]): r["bm25"]
+        for r in bm25(docs, k1=k1, b=b).collect()
+    }
+    want = _py_bm25(BM_DOCS, k1=k1, b=b)
+    assert set(got) == set(want)
+    for key, v in want.items():
+        assert got[key] == pytest.approx(v, abs=1e-12)
+
+
+def test_bm25_properties(spark):
+    from parallel_pagerank_spark.functions.text import bm25
+
+    docs = spark.createDataFrame(BM_DOCS, "doc_id long, text string")
+    rows = {(r["doc_id"], r["term"]): r for r in bm25(docs).collect()}
+    # empty doc contributes nothing
+    assert not any(d == 4 for d, _ in rows)
+    # dl carried correctly through the aggregation
+    assert rows[(1, "apple")]["dl"] == 4 and rows[(2, "banana")]["dl"] == 3
+    # rarer term outscores a common one at equal tf within the same doc
+    assert rows[(3, "date")]["bm25"] == rows[(3, "fig")]["bm25"]
+    assert rows[(1, "cherry")]["bm25"] < rows[(1, "apple")]["bm25"]
+
+
+def test_bm25_validation(spark):
+    from parallel_pagerank_spark.functions.text import bm25
+
+    docs = spark.createDataFrame(BM_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25(docs, k1=-0.1)
+    with pytest.raises(ValueError):
+        bm25(docs, b=1.5)
