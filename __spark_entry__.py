@@ -1505,6 +1505,24 @@ def _q_jaccard_linkpred(spark, sf_dir):
     )
 
 
+def _q_mixture(spark, sf_dir):
+    """Deterministic source-mixture schedule (functions/mixing.py
+    mixture_schedule — the GPT-3/Pile mixing-weights pass, sampler
+    replaced by the portable hash so the schedule is reproducible and
+    resumable): per-lang epoch weights {en:2.5, de:1.0, es:0.5,
+    fr:1.25}; zh is deliberately unlisted and must vanish (fail-closed).
+    Epoch replication is array-side, the order key pure int64 hash
+    arithmetic — all-integer, hash-exact."""
+    from parallel_pagerank_spark.functions.mixing import mixture_schedule
+
+    return mixture_schedule(
+        _documents(spark, sf_dir), _MIX_WEIGHTS, source_col="lang"
+    )
+
+
+_MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "es": 0.5, "fr": 1.25}
+
+
 def _q_bm25(spark, sf_dir):
     """Okapi BM25 per (doc, term) (functions/text.py bm25 — the
     Robertson/Walker ranking function, Lucene positive-idf variant)
@@ -1839,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "seq_pack_text": _q_seq_pack_text,
         "bm25": _q_bm25,
+        "mixture": _q_mixture,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3141,6 +3160,7 @@ SELECT tf.doc_id, tf.term, tf.tf, tf.dl,
              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl)), 6) AS bm25
 FROM tf JOIN df USING (term) CROSS JOIN s
 """,
+        "mixture": _mixture_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3153,6 +3173,17 @@ FROM tf JOIN df USING (term) CROSS JOIN s
             ),
         ),
     }
+
+
+def _mixture_sql() -> str:
+    """Mirror of _q_mixture: the same fail-closed weight map, extra-epoch
+    threshold, and (id + epoch*stride) order hash, generated by the
+    engine's own SQL twin."""
+    from parallel_pagerank_spark.functions.mixing import (
+        mixture_schedule_sql,
+    )
+
+    return mixture_schedule_sql(_MIX_WEIGHTS, source_expr="lang")
 
 
 def _stratified_sample_sql() -> str:

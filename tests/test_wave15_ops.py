@@ -445,3 +445,119 @@ def test_bm25_validation(spark):
         bm25(docs, k1=-0.1)
     with pytest.raises(ValueError):
         bm25(docs, b=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture scheduling (functions/mixing.py) vs the portable-hash
+# python oracle.
+# ---------------------------------------------------------------------------
+
+_P, _K, _M = 2_147_483_647, 2_654_435_761, 4_294_967_296
+_STRIDE = 1_000_003
+
+MIX_DOCS = [(i, f"doc {i}", ["a", "b", "c", "d"][i % 4]) for i in range(40)]
+MIX_W = {"a": 2.5, "b": 1.0, "c": 0.25}  # d unlisted -> dropped
+
+
+def _bucket(x, salt=0):
+    return ((x + salt) % _P) * _K % _M
+
+
+def _py_mixture(docs, weights, salt=0):
+    rows = []
+    for doc_id, _, src in docs:
+        if src not in weights:
+            continue
+        w = weights[src]
+        k = int(w) + (1 if _bucket(doc_id, salt) < (w - int(w)) * _M else 0)
+        for e in range(k):
+            rows.append(
+                (doc_id, src, e, _bucket(doc_id + e * _STRIDE, salt))
+            )
+    return sorted(rows)
+
+
+@pytest.fixture()
+def mix_docs(spark):
+    return spark.createDataFrame(
+        MIX_DOCS, "doc_id long, text string, source string"
+    )
+
+
+@pytest.mark.parametrize("salt", [0, 7])
+def test_mixture_vs_python(spark, mix_docs, salt):
+    from parallel_pagerank_spark.functions.mixing import mixture_schedule
+
+    got = sorted(
+        map(tuple, mixture_schedule(mix_docs, MIX_W, salt=salt).collect())
+    )
+    assert got == _py_mixture(MIX_DOCS, MIX_W, salt=salt)
+
+
+def test_mixture_semantics(spark, mix_docs):
+    from parallel_pagerank_spark.functions.mixing import mixture_schedule
+
+    rows = mixture_schedule(mix_docs, MIX_W).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert "d" not in by_src  # fail-closed
+    # every 'b' doc exactly once, epoch 0
+    assert len(by_src["b"]) == 10
+    assert all(r["epoch"] == 0 for r in by_src["b"])
+    # every 'a' doc 2 or 3 times with contiguous epochs from 0
+    per_doc = {}
+    for r in by_src["a"]:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    for eps in per_doc.values():
+        assert sorted(eps) == list(range(len(eps))) and len(eps) in (2, 3)
+    # 'c' at 0.25: a strict stable subset appears exactly once
+    assert 0 < len(by_src["c"]) < 10
+
+
+def test_mixture_monotone_in_weight(spark, mix_docs):
+    from parallel_pagerank_spark.functions.mixing import mixture_schedule
+
+    lo = {
+        tuple(r)
+        for r in mixture_schedule(mix_docs, {"c": 0.25}).collect()
+    }
+    hi = {
+        tuple(r)
+        for r in mixture_schedule(mix_docs, {"c": 0.75}).collect()
+    }
+    assert lo <= hi
+
+
+def test_mixture_deterministic_and_sql_mirror(spark, mix_docs):
+    import duckdb
+
+    from parallel_pagerank_spark.functions.mixing import (
+        mixture_schedule,
+        mixture_schedule_sql,
+    )
+
+    a = sorted(map(tuple, mixture_schedule(mix_docs, MIX_W).collect()))
+    b = sorted(
+        map(
+            tuple,
+            mixture_schedule(mix_docs.repartition(5), MIX_W).collect(),
+        )
+    )
+    assert a == b
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", MIX_DOCS)
+    got = sorted(map(tuple, con.sql(mixture_schedule_sql(MIX_W)).fetchall()))
+    assert got == a
+
+
+def test_mixture_validation(spark, mix_docs):
+    from parallel_pagerank_spark.functions.mixing import mixture_schedule
+
+    with pytest.raises(ValueError):
+        mixture_schedule(mix_docs, {})
+    with pytest.raises(ValueError):
+        mixture_schedule(mix_docs, {"a": 0.0})
