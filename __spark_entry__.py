@@ -1523,6 +1523,27 @@ def _q_mixture(spark, sf_dir):
 _MIX_WEIGHTS = {"en": 2.5, "de": 1.0, "es": 0.5, "fr": 1.25}
 
 
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization codes (functions/similarity.py pq_encode —
+    Jégou TPAMI'11): every embedding cut into m=8 contiguous 8-dim
+    subvectors, each replaced by its nearest (squared-L2) codeword id
+    from the deterministic seed codebook (subvectors of the k=8
+    smallest-id vectors; ties to the smallest code). Codes are the
+    integer argmins (same ulp-tie caveat as cluster_assign); mse is the
+    mean squared reconstruction error, rounded 6 (bm25 discipline —
+    Spark folds per-sub distances in sub order, DuckDB sums the same 8
+    doubles; both land well inside 1e-6)."""
+    from parallel_pagerank_spark.functions.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    cb = pq_seed_codebooks(emb, m=8, k=8)
+    out = pq_encode(emb, cb, m=8)
+    return out.select("vec_id", "codes", F.round("mse", 6).alias("mse"))
+
+
 def _q_bm25(spark, sf_dir):
     """Okapi BM25 per (doc, term) (functions/text.py bm25 — the
     Robertson/Walker ranking function, Lucene positive-idf variant)
@@ -1858,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack_text": _q_seq_pack_text,
         "bm25": _q_bm25,
         "mixture": _q_mixture,
+        "pq_codes": _q_pq_codes,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3161,6 +3183,7 @@ SELECT tf.doc_id, tf.term, tf.tf, tf.dl,
 FROM tf JOIN df USING (term) CROSS JOIN s
 """,
         "mixture": _mixture_sql(),
+        "pq_codes": _pq_codes_sql(8, 8),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3173,6 +3196,47 @@ FROM tf JOIN df USING (term) CROSS JOIN s
             ),
         ),
     }
+
+
+def _pq_codes_sql(m: int, k: int) -> str:
+    """Mirror of _q_pq_codes: seed codebook = per-subspace slices of the
+    k smallest-vec_id embeddings (code = id rank), argmin squared-L2 per
+    (vector, subspace) with row_number ties (d2, code), codes list-agg'd
+    in sub order, mse = Σ best d2 / dim rounded 6.  FLOAT[]→DOUBLE[]
+    cast is exact, matching pq_encode's per-element double cast."""
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS dim
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) % {m} = 0),
+s AS (SELECT unnest(range({m})) AS sub),
+subs AS (
+  SELECT vec_id, s.sub,
+         e[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS sv,
+         dim
+  FROM v, s),
+cbv AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e, dim
+  FROM (SELECT vec_id, e, dim FROM v ORDER BY vec_id LIMIT {k})),
+cb AS (
+  SELECT s.sub, c.code,
+         c.e[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS cv
+  FROM cbv c, s),
+scored AS (
+  SELECT subs.vec_id, subs.sub, cb.code, subs.dim,
+         list_distance(subs.sv, cb.cv) ^ 2 AS d2
+  FROM subs JOIN cb ON subs.sub = cb.sub),
+best AS (
+  SELECT vec_id, sub, code, d2, dim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM scored)
+  WHERE rn = 1)
+SELECT vec_id,
+       list(code ORDER BY sub) AS codes,
+       round(sum(d2) / any_value(dim), 6) AS mse
+FROM best GROUP BY vec_id
+"""
 
 
 def _mixture_sql() -> str:

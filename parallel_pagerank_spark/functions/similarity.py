@@ -483,3 +483,199 @@ def assign_to_centroids(
             "centroid_id", F.struct(-F.col("cos"), F.col("centroid_id"))
         ).alias("centroid_id")
     )
+
+
+def _subvectors(
+    vectors: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """``(id, sub, subvec)``: each vector cut into ``m`` contiguous
+    subvectors, array-side (``sequence`` + ``slice`` — no join, no
+    python). Dimensionality must divide evenly by ``m``."""
+    v = F.col(vec_col)
+    subdim = (F.size(v) / F.lit(m)).cast("int")
+    pieces = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.alias("sub"),
+            F.slice(v, s * subdim + 1, subdim).alias("subvec"),
+        ),
+    )
+    return (
+        vectors.filter(v.isNotNull())
+        .filter(F.size(v) % F.lit(m) == 0)
+        .select(F.col(id_col).alias("id"), F.explode(pieces).alias("p"))
+        .select("id", F.col("p.sub").alias("sub"), F.col("p.subvec").alias("subvec"))
+    )
+
+
+def _l2sq(a, b) -> "F.Column":
+    """Squared L2 distance of two arrays as a left-fold (fixed
+    summation order: engine-portable up to IEEE non-associativity of
+    the same sequence, i.e. bit-exact for the same fold order)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid, *Product
+    Quantization for Nearest Neighbor Search*, TPAMI 2011 §II): each
+    vector is cut into ``m`` contiguous subvectors and each subvector
+    replaced by the id of its nearest (squared-L2) codeword in that
+    subspace's codebook — the memory layout that makes billion-vector
+    ANN fit in RAM (m bytes per vector at k=256).
+
+    ``codebooks`` is ``(sub, code, cvec)`` (from :func:`pq_train` or
+    any deterministic seeding). Returns ``(vec_id, codes: array<int>,
+    mse)`` where mse is the mean squared reconstruction error (the sum
+    of the chosen per-subspace distances / dimensionality).
+
+    Scale shape: subvector derivation is array-side; the codebook
+    (m·k rows) is BROADCAST; the argmin is one hash aggregation via
+    ``min_by`` over a (distance, code) struct (ties to the smallest
+    code — total, engine-portable order); the final per-vector
+    assembly is one more hash aggregation with ``array_sort`` over
+    (sub, code) structs. Two shuffles total, both keyed on the vector
+    id — never on anything data-dependent, so no skew hazard.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    subs = _subvectors(vectors, m, id_col, vec_col)
+    cb = codebooks.select(
+        F.col("sub").alias("csub"), "code", F.col("cvec")
+    )
+    scored = subs.join(
+        F.broadcast(cb), subs["sub"] == cb["csub"]
+    ).select(
+        "id",
+        "sub",
+        "code",
+        _l2sq(F.col("subvec"), F.col("cvec")).alias("d2"),
+    )
+    best = scored.groupBy("id", "sub").agg(
+        F.min_by("code", F.struct("d2", "code")).alias("code"),
+        F.min("d2").alias("d2"),
+    )
+    # one sorted struct list -> codes AND an ORDERED d2 fold: summing the
+    # m per-subspace distances in sub order keeps mse bit-deterministic
+    # (a bare sum() would add in shuffle-arrival order)
+    picked = F.array_sort(F.collect_list(F.struct("sub", "code", "d2")))
+    return (
+        best.groupBy("id")
+        .agg(
+            F.transform(picked, lambda s: s["code"]).alias("codes"),
+            F.aggregate(
+                picked, F.lit(0.0), lambda acc, s: acc + s["d2"]
+            ).alias("sumd2"),
+        )
+        .join(
+            vectors.select(
+                F.col(id_col).alias("id"),
+                F.size(F.col(vec_col)).cast("double").alias("dim"),
+            ),
+            "id",
+        )
+        .select(
+            F.col("id").alias("vec_id"),
+            "codes",
+            (F.col("sumd2") / F.col("dim")).alias("mse"),
+        )
+    )
+
+
+def pq_seed_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic codebook seeding: subspace ``s``'s codewords are
+    the ``s``-th subvectors of the ``k`` smallest-id vectors (code =
+    rank in that order) — the same first-k convention as the
+    cluster_assign driver query; feed to :func:`pq_train` to refine."""
+    subs = _subvectors(
+        vectors.orderBy(id_col).limit(k), m, id_col, vec_col
+    )
+    w = Window.partitionBy("sub").orderBy("id")
+    return subs.select(
+        "sub",
+        (F.row_number().over(w) - 1).alias("code"),
+        F.col("subvec").alias("cvec"),
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train PQ codebooks by per-subspace Lloyd iterations — all ``m``
+    subspaces advance in ONE distributed E-step + ONE M-step per round
+    (rows keyed (sub, code); the codebook stays m·k rows and is
+    re-broadcast each round). Deterministic: seeded by
+    :func:`pq_seed_codebooks`, argmin ties to the smallest code. Empty
+    cells keep their previous codeword (standard k-means practice)."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    cb = pq_seed_codebooks(vectors, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    subs = _subvectors(vectors, m, id_col, vec_col).persist()
+    try:
+        for _ in range(iters):
+            scored = subs.join(
+                F.broadcast(cb.select(F.col("sub").alias("csub"), "code", "cvec")),
+                subs["sub"] == F.col("csub"),
+            ).select(
+                "id", "sub", "code",
+                _l2sq(F.col("subvec"), F.col("cvec")).alias("d2"),
+                "subvec",
+            )
+            assigned = scored.groupBy("id", "sub").agg(
+                F.min_by(
+                    F.struct("code", "subvec"), F.struct("d2", "code")
+                ).alias("a")
+            )
+            means = (
+                assigned.select(
+                    "sub",
+                    F.col("a.code").alias("code"),
+                    F.posexplode(F.col("a.subvec")).alias("pos", "val"),
+                )
+                .groupBy("sub", "code", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("cv"))
+                .groupBy("sub", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                        lambda s: s["cv"],
+                    ).alias("newvec")
+                )
+            )
+            cb = (
+                cb.join(means, ["sub", "code"], "left")
+                .select(
+                    "sub",
+                    "code",
+                    F.coalesce(F.col("newvec"), F.col("cvec")).alias("cvec"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        subs.unpersist()
+    return cb

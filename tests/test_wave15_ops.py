@@ -561,3 +561,108 @@ def test_mixture_validation(spark, mix_docs):
         mixture_schedule(mix_docs, {})
     with pytest.raises(ValueError):
         mixture_schedule(mix_docs, {"a": 0.0})
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (functions/similarity.py pq_*) vs numpy.
+# ---------------------------------------------------------------------------
+
+
+def _pq_vecs():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return [(i, rng.rand(8).round(3).tolist()) for i in range(12)]
+
+
+def _py_pq(vecs, cb, m):
+    # cb: {(sub, code): list}; returns {vec_id: (codes, mse)}
+    out = {}
+    for vid, v in vecs:
+        d = len(v) // m
+        codes, sumd2 = [], 0.0
+        for s in range(m):
+            sv = v[s * d : (s + 1) * d]
+            best = None
+            for (cs, code), cv in sorted(cb.items()):
+                if cs != s:
+                    continue
+                d2 = sum((a - b) ** 2 for a, b in zip(sv, cv))
+                if best is None or d2 < best[0] - 1e-15:
+                    best = (d2, code)
+            codes.append(best[1])
+            sumd2 += best[0]
+        out[vid] = (codes, sumd2 / len(v))
+    return out
+
+
+@pytest.fixture()
+def pq_emb(spark):
+    return spark.createDataFrame(
+        _pq_vecs(), "vec_id long, embedding array<double>"
+    )
+
+
+def test_pq_seed_and_encode_vs_numpy(spark, pq_emb):
+    from parallel_pagerank_spark.functions.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    m, k = 4, 4
+    cb_df = pq_seed_codebooks(pq_emb, m=m, k=k)
+    cb = {(r["sub"], r["code"]): list(r["cvec"]) for r in cb_df.collect()}
+    # seed = subvectors of the k smallest-id vectors, code = id rank
+    vecs = dict(_pq_vecs())
+    for s in range(m):
+        for c in range(k):
+            assert cb[(s, c)] == pytest.approx(vecs[c][s * 2 : (s + 1) * 2])
+    got = {
+        r["vec_id"]: (list(r["codes"]), r["mse"])
+        for r in pq_encode(pq_emb, cb_df, m=m).collect()
+    }
+    want = _py_pq(_pq_vecs(), cb, m)
+    assert set(got) == set(want)
+    for vid, (codes, mse) in want.items():
+        assert got[vid][0] == codes
+        assert got[vid][1] == pytest.approx(mse, abs=1e-12)
+    # seed members encode to their own code with zero error
+    for vid in range(4):
+        assert got[vid] == ([vid] * m, pytest.approx(0.0, abs=1e-15))
+
+
+def test_pq_train_improves_and_stays_valid(spark, pq_emb):
+    import pyspark.sql.functions as F
+
+    from parallel_pagerank_spark.functions.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+        pq_train,
+    )
+
+    m, k = 4, 3
+    seed_mse = (
+        pq_encode(pq_emb, pq_seed_codebooks(pq_emb, m=m, k=k), m=m)
+        .agg(F.avg("mse"))
+        .first()[0]
+    )
+    cb2 = pq_train(pq_emb, m=m, k=k, iters=3)
+    rows = cb2.collect()
+    assert len(rows) == m * k  # no cell lost (empty cells keep codewords)
+    trained_mse = (
+        pq_encode(pq_emb, cb2, m=m).agg(F.avg("mse")).first()[0]
+    )
+    assert trained_mse <= seed_mse + 1e-12
+
+
+def test_pq_validation(spark, pq_emb):
+    from parallel_pagerank_spark.functions.similarity import (
+        pq_encode,
+        pq_seed_codebooks,
+        pq_train,
+    )
+
+    with pytest.raises(ValueError):
+        pq_encode(pq_emb, pq_seed_codebooks(pq_emb, m=2, k=2), m=0)
+    with pytest.raises(ValueError):
+        pq_train(pq_emb, iters=-1)
