@@ -1544,6 +1544,28 @@ def _q_pq_codes(spark, sf_dir):
     return out.select("vec_id", "codes", F.round("mse", 6).alias("mse"))
 
 
+def _q_knn_pq(spark, sf_dir):
+    """PQ-ADC approximate top-5 (functions/similarity.py l2_topk_pq —
+    Jégou TPAMI'11 asymmetric distance): corpus encoded against the
+    deterministic seed codebook (m=8, k=8 — the pq_codes setup), the
+    first 8 vectors as queries, distance = Σ_sub LUT lookups over the
+    codes only (raw corpus never rescanned). Integer output like
+    knn_bruteforce; the float adc is internal (ulp-tie caveat)."""
+    from parallel_pagerank_spark.functions.similarity import (
+        l2_topk_pq,
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir).filter(F.col("embedding").isNotNull())
+    cb = pq_seed_codebooks(emb, m=8, k=8)
+    codes = pq_encode(emb, cb, m=8)
+    queries = emb.orderBy("vec_id").limit(8)
+    return l2_topk_pq(codes, cb, queries, m=8, k=5).select(
+        "query_id", "neighbor_id", "rnk"
+    )
+
+
 def _q_bm25(spark, sf_dir):
     """Okapi BM25 per (doc, term) (functions/text.py bm25 — the
     Robertson/Walker ranking function, Lucene positive-idf variant)
@@ -1880,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         "mixture": _q_mixture,
         "pq_codes": _q_pq_codes,
+        "knn_pq": _q_knn_pq,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3184,6 +3207,7 @@ FROM tf JOIN df USING (term) CROSS JOIN s
 """,
         "mixture": _mixture_sql(),
         "pq_codes": _pq_codes_sql(8, 8),
+        "knn_pq": _knn_pq_sql(8, 8, 8, 5),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3198,12 +3222,9 @@ FROM tf JOIN df USING (term) CROSS JOIN s
     }
 
 
-def _pq_codes_sql(m: int, k: int) -> str:
-    """Mirror of _q_pq_codes: seed codebook = per-subspace slices of the
-    k smallest-vec_id embeddings (code = id rank), argmin squared-L2 per
-    (vector, subspace) with row_number ties (d2, code), codes list-agg'd
-    in sub order, mse = Σ best d2 / dim rounded 6.  FLOAT[]→DOUBLE[]
-    cast is exact, matching pq_encode's per-element double cast."""
+def _pq_prelude(m: int, k: int) -> str:
+    """Shared PQ CTE chain (seed codebook → per-(vector, subspace)
+    squared-L2 argmin): `best` holds (vec_id, sub, code, d2, dim)."""
     return f"""
 WITH v AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS e, len(embedding) AS dim
@@ -3231,12 +3252,58 @@ best AS (
     SELECT *, row_number() OVER (
       PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
     FROM scored)
-  WHERE rn = 1)
+  WHERE rn = 1)"""
+
+
+def _pq_codes_sql(m: int, k: int) -> str:
+    """Mirror of _q_pq_codes: seed codebook = per-subspace slices of the
+    k smallest-vec_id embeddings (code = id rank), argmin squared-L2 per
+    (vector, subspace) with row_number ties (d2, code), codes list-agg'd
+    in sub order, mse = Σ best d2 / dim rounded 6.  FLOAT[]→DOUBLE[]
+    cast is exact, matching pq_encode's per-element double cast."""
+    return (
+        _pq_prelude(m, k)
+        + """
 SELECT vec_id,
        list(code ORDER BY sub) AS codes,
        round(sum(d2) / any_value(dim), 6) AS mse
 FROM best GROUP BY vec_id
 """
+    )
+
+
+def _knn_pq_sql(m: int, k: int, n_queries: int, topk: int) -> str:
+    """Mirror of _q_knn_pq (ADC): LUT[q][sub][code] = ||q_sub −
+    c_{sub,code}||² against the exact query subvectors; a coded
+    vector's approximate distance = Σ_sub LUT[sub][codes[sub]].
+    Integer output (query_id, neighbor_id, rnk); the float adc is
+    internal — argsort flips only on ~ulp ties, the accepted
+    knn_bruteforce risk."""
+    return (
+        _pq_prelude(m, k)
+        + f""",
+qs AS (SELECT vec_id AS qid, e, dim FROM v ORDER BY vec_id LIMIT {n_queries}),
+qsubs AS (
+  SELECT qid, s.sub,
+         e[s.sub * (dim // {m}) + 1 : (s.sub + 1) * (dim // {m})] AS sv
+  FROM qs, s),
+lut AS (
+  SELECT q.qid, q.sub, cb.code,
+         list_distance(q.sv, cb.cv) ^ 2 AS d2
+  FROM qsubs q JOIN cb ON q.sub = cb.sub),
+adc AS (
+  SELECT l.qid AS query_id, b.vec_id AS neighbor_id, sum(l.d2) AS adc
+  FROM best b JOIN lut l ON b.sub = l.sub AND b.code = l.code
+  WHERE b.vec_id != l.qid
+  GROUP BY l.qid, b.vec_id)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+  FROM adc)
+WHERE rnk <= {topk}
+"""
+    )
 
 
 def _mixture_sql() -> str:

@@ -679,3 +679,78 @@ def pq_train(
     finally:
         subs.unpersist()
     return cb
+
+
+def l2_topk_pq(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (Jégou, Douze & Schmid,
+    TPAMI 2011 §III ADC): per query, a lookup table ``LUT[sub][code] =
+    ||q_sub − c_{sub,code}||²`` is built against the exact query
+    subvectors, and a coded corpus vector's approximate squared-L2
+    distance is the m-term fold ``Σ_sub LUT[sub][codes[sub]]`` — m
+    array lookups + adds per (query, vector) instead of a full
+    dim-width scan of the raw corpus.
+
+    ``codes`` is (vec_id, codes) from :func:`pq_encode`; ``queries``
+    holds raw vectors and is expected small. Returns ``(query_id,
+    neighbor_id, adc, rnk)``, top ``k`` per query by (adc asc,
+    neighbor_id asc), self-matches excluded.
+
+    Scale shape: the LUTs are (|queries| · m · n_codes) rows folded to
+    ONE nested-array row per query and BROADCAST; the corpus side is a
+    single scan of the (vec_id, codes) table — the raw embeddings are
+    never touched, which is the entire point of PQ at 10⁹ vectors —
+    with the ADC fold array-side (``zip_with`` + ``aggregate``,
+    whole-stage codegen). The only shuffle is the per-query top-k
+    window, and |queries| bounds its width.
+    """
+    qsubs = _subvectors(queries, m, id_col, vec_col)
+    cb = codebooks.select(F.col("sub").alias("csub"), "code", "cvec")
+    lut_rows = qsubs.join(F.broadcast(cb), qsubs["sub"] == cb["csub"]).select(
+        F.col("id").alias("query_id"),
+        "sub",
+        "code",
+        _l2sq(F.col("subvec"), F.col("cvec")).alias("d2"),
+    )
+    per_sub = lut_rows.groupBy("query_id", "sub").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "d2"))),
+            lambda s: s["d2"],
+        ).alias("row")
+    )
+    luts = per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "row"))),
+            lambda s: s["row"],
+        ).alias("lut")
+    )
+    scored = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(luts), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda c, row: F.element_at(row, c.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

@@ -666,3 +666,78 @@ def test_pq_validation(spark, pq_emb):
         pq_encode(pq_emb, pq_seed_codebooks(pq_emb, m=2, k=2), m=0)
     with pytest.raises(ValueError):
         pq_train(pq_emb, iters=-1)
+
+
+def test_pq_adc_topk_vs_numpy(spark, pq_emb):
+    from parallel_pagerank_spark.functions.similarity import (
+        l2_topk_pq,
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    m, k = 4, 4
+    cb_df = pq_seed_codebooks(pq_emb, m=m, k=k)
+    codes_df = pq_encode(pq_emb, cb_df, m=m)
+    queries = pq_emb.orderBy("vec_id").limit(3)
+    got = {
+        (r["query_id"], r["rnk"]): (r["neighbor_id"], r["adc"])
+        for r in l2_topk_pq(codes_df, cb_df, queries, m=m, k=5).collect()
+    }
+
+    # pure-python ADC reference
+    cb = {(r["sub"], r["code"]): list(r["cvec"]) for r in cb_df.collect()}
+    vecs = _pq_vecs()
+    codes = _py_pq(vecs, cb, m)
+    d = len(vecs[0][1]) // m
+    for qid, qv in vecs[:3]:
+        lut = {
+            (s, c): sum(
+                (a - b) ** 2
+                for a, b in zip(qv[s * d : (s + 1) * d], cb[(s, c)])
+            )
+            for s in range(m)
+            for c in range(k)
+        }
+        adcs = sorted(
+            (sum(lut[(s, code)] for s, code in enumerate(codes[vid][0])), vid)
+            for vid, _ in vecs
+            if vid != qid
+        )
+        for rnk, (adc, vid) in enumerate(adcs[:5], start=1):
+            assert got[(qid, rnk)][0] == vid
+            assert got[(qid, rnk)][1] == pytest.approx(adc, abs=1e-12)
+
+
+def test_pq_adc_recall_on_clustered_data(spark):
+    """On well-separated clusters a trained PQ must return only
+    same-cluster neighbors: intra-cluster noise (0.05) sits BELOW PQ
+    resolution (same-cluster points legitimately share codes, so the
+    exact-NN identity is not recoverable), but quantization error is
+    far below the inter-cluster distance (~10), so every ADC top-3 hit
+    must come from the query's own cluster — the property PQ actually
+    guarantees."""
+    import numpy as np
+
+    from parallel_pagerank_spark.functions.similarity import (
+        l2_topk_pq,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.rand(4, 8) * 10
+    rows = [
+        (i, (centers[i % 4] + rng.rand(8) * 0.05).round(4).tolist())
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(emb, m=4, k=8, iters=4)
+    codes = pq_encode(emb, cb, m=4)
+    queries = emb.orderBy("vec_id").limit(6)
+    hits = l2_topk_pq(codes, cb, queries, m=4, k=3).collect()
+    assert len(hits) == 6 * 3
+    for r in hits:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4
+        # ADC distance of a same-cluster neighbor stays far below the
+        # ~100+ squared distance to any other cluster's points
+        assert r["adc"] < 10.0
