@@ -1544,6 +1544,29 @@ def _q_pq_codes(spark, sf_dir):
     return out.select("vec_id", "codes", F.round("mse", 6).alias("mse"))
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    """First-round BPE pair statistics (functions/bpe.py
+    bpe_pair_counts — Sennrich ACL'16 §3.2): corpus-weighted adjacent
+    symbol-pair counts over char+EOW symbol sequences of the distinct
+    normalized words. The SQL-expressible slice of tokenizer training;
+    all-string/integer, hash-exact."""
+    from parallel_pagerank_spark.functions.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_documents(spark, sf_dir))
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge table, 20 rounds (functions/bpe.py bpe_train).
+    Iterative and data-dependent — each round's argmax parameterizes
+    the next round's fold — so no single-statement SQL oracle exists;
+    rows-only here, with full pure-Python parity in tests/test_bpe.py
+    (merges, segmentation, and first-round counts all equal the
+    reference implementation)."""
+    from parallel_pagerank_spark.functions.bpe import bpe_train
+
+    return bpe_train(_documents(spark, sf_dir), n_merges=20)
+
+
 def _q_knn_pq(spark, sf_dir):
     """PQ-ADC approximate top-5 (functions/similarity.py l2_topk_pq —
     Jégou TPAMI'11 asymmetric distance): corpus encoded against the
@@ -1903,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture": _q_mixture,
         "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
+        "bpe_pairs": _q_bpe_pairs,
+        "bpe_merges": _q_bpe_merges,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3208,6 +3233,7 @@ FROM tf JOIN df USING (term) CROSS JOIN s
         "mixture": _mixture_sql(),
         "pq_codes": _pq_codes_sql(8, 8),
         "knn_pq": _knn_pq_sql(8, 8, 8, 5),
+        "bpe_pairs": _bpe_pairs_sql(),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3220,6 +3246,29 @@ FROM tf JOIN df USING (term) CROSS JOIN s
             ),
         ),
     }
+
+
+def _bpe_pairs_sql() -> str:
+    """Mirror of _q_bpe_pairs: distinct-word frequencies, char+EOW
+    symbols (regexp_extract_all('.') — same any-char class both
+    engines), adjacent pairs via DuckDB's zipped parallel unnest of the
+    two off-by-one slices."""
+    return f"""
+WITH norm AS (SELECT {_NORM_TEXT_SQL} AS t FROM documents),
+words AS (
+  SELECT unnest(string_split(t, ' ')) AS word
+  FROM norm WHERE length(t) > 0),
+wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word),
+syms AS (
+  SELECT freq, list_append(regexp_extract_all(word, '.'), '</w>') AS s
+  FROM wf),
+pairs AS (
+  SELECT freq,
+         unnest(s[1 : len(s) - 1]) AS lhs,
+         unnest(s[2 : len(s)]) AS rhs
+  FROM syms WHERE len(s) >= 2)
+SELECT lhs, rhs, sum(freq)::BIGINT AS n FROM pairs GROUP BY lhs, rhs
+"""
 
 
 def _pq_prelude(m: int, k: int) -> str:
