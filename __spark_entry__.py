@@ -1544,6 +1544,53 @@ def _q_pq_codes(spark, sf_dir):
     return out.select("vec_id", "codes", F.round("mse", 6).alias("mse"))
 
 
+def _q_cross_jaccard(spark, sf_dir):
+    """Cross-corpus exact similarity join (functions/dedup.py
+    cross_jaccard_join — Vernica SIGMOD'10 R×S prefix filter): every
+    (new, reference) pair with char-5-gram Jaccard >= 0.9, snapshots
+    carved deterministically as ref = doc_id % 3 == 0. The oracle is
+    the unpruned inverted-index SQL — a different plan computing the
+    same exact result, checking the prefix pruning hash-exactly."""
+    from parallel_pagerank_spark.functions.dedup import cross_jaccard_join
+
+    docs = _documents(spark, sf_dir)
+    out = cross_jaccard_join(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        threshold=0.9,
+    )
+    return out.select(
+        "new_id", "ref_id", F.round("jaccard", 9).alias("jaccard")
+    )
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental cross-snapshot dedup (functions/dedup.py
+    dedup_against): the new batch (doc_id % 3 != 0) deduped against the
+    kept reference (doc_id % 3 == 0) — exact fingerprint anti-join plus
+    the near tier at 0.9 — then exact-deduped among itself.
+    All-integer, hash-exact."""
+    from parallel_pagerank_spark.functions.dedup import dedup_against
+
+    docs = _documents(spark, sf_dir)
+    return dedup_against(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        threshold=0.9,
+    ).select("keep_id", "dup_count")
+
+
+def _q_props_stats(spark, sf_dir):
+    """Semi-structured payload extraction (sources/events.py
+    parse_props/props_stats): the events table's props JSON column
+    parsed JVM-side (get_json_object) and folded to per-event_type
+    integer stats — NULL-safe (absent key / malformed JSON → NULL,
+    counted in k_nulls). All-integer, hash-exact."""
+    from parallel_pagerank_spark.sources.events import props_stats
+
+    return props_stats(_events(spark, sf_dir))
+
+
 def _q_bpe_pairs(spark, sf_dir):
     """First-round BPE pair statistics (functions/bpe.py
     bpe_pair_counts — Sennrich ACL'16 §3.2): corpus-weighted adjacent
@@ -1927,6 +1974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "knn_pq": _q_knn_pq,
         "bpe_pairs": _q_bpe_pairs,
+        "props_stats": _q_props_stats,
+        "cross_jaccard": _q_cross_jaccard,
+        "dedup_incremental": _q_dedup_incremental,
         "bpe_merges": _q_bpe_merges,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
@@ -3234,6 +3284,21 @@ FROM tf JOIN df USING (term) CROSS JOIN s
         "pq_codes": _pq_codes_sql(8, 8),
         "knn_pq": _knn_pq_sql(8, 8, 8, 5),
         "bpe_pairs": _bpe_pairs_sql(),
+        "cross_jaccard": _cross_jaccard_sql(0.9),
+        "dedup_incremental": _dedup_incremental_sql(0.9),
+        "props_stats": """
+WITH parsed AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       count(*) AS n,
+       count(*) FILTER (k IS NULL) AS k_nulls,
+       sum(k) AS k_sum,
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM parsed GROUP BY event_type
+""",
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(
@@ -3246,6 +3311,61 @@ FROM tf JOIN df USING (term) CROSS JOIN s
             ),
         ),
     }
+
+
+def _cross_pairs_cte(threshold: float) -> str:
+    """Shared cross-snapshot Jaccard CTE: ``xjp(new_id, ref_id, j)`` —
+    the UNPRUNED inverted-index cross join (ref = doc_id % 3 == 0),
+    checking the engine's prefix-filtered plan against the plain
+    definition."""
+    return f"""
+cnorm AS MATERIALIZED (
+  SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents),
+csh AS MATERIALIZED (
+  SELECT doc_id, unnest(list_distinct(
+    [substr(t, i, 5) for i in range(1, greatest(length(t) - 4, 1) + 1)]
+  )) AS g FROM cnorm),
+csizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+xcommon AS MATERIALIZED (
+  SELECT a.doc_id AS new_id, b.doc_id AS ref_id, count(*) AS c
+  FROM csh a JOIN csh b ON a.g = b.g
+  WHERE a.doc_id % 3 != 0 AND b.doc_id % 3 = 0
+  GROUP BY a.doc_id, b.doc_id),
+xjp AS MATERIALIZED (
+  SELECT new_id, ref_id,
+         c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS j
+  FROM xcommon
+  JOIN csizes sa ON sa.doc_id = new_id
+  JOIN csizes sb ON sb.doc_id = ref_id
+  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= {threshold})"""
+
+
+def _cross_jaccard_sql(threshold: float) -> str:
+    return (
+        "WITH " + _cross_pairs_cte(threshold) + "\n"
+        "SELECT new_id, ref_id, round(j, 9) AS jaccard FROM xjp"
+    )
+
+
+def _dedup_incremental_sql(threshold: float) -> str:
+    """Mirror of _q_dedup_incremental: exact anti-join on normalized
+    content, near-tier drop via the cross-pair CTE, then exact dedup of
+    the survivors (keep = min id per content)."""
+    return (
+        "WITH "
+        + _cross_pairs_cte(threshold)
+        + f""",
+newd AS (SELECT doc_id, t FROM cnorm WHERE doc_id % 3 != 0),
+refd AS (SELECT t FROM cnorm WHERE doc_id % 3 = 0),
+fresh AS (
+  SELECT doc_id, t FROM newd
+  WHERE NOT EXISTS (SELECT 1 FROM refd r WHERE r.t = newd.t)
+    AND NOT EXISTS (SELECT 1 FROM xjp x WHERE x.new_id = newd.doc_id))
+SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+FROM fresh GROUP BY t
+"""
+    )
 
 
 def _bpe_pairs_sql() -> str:

@@ -849,3 +849,136 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     union = F.size(F.array_union("g_a", "g_b")).cast("double")
     return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def cross_jaccard_join(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """EXACT cross-corpus set-similarity join (the R×S case of Vernica
+    et al., SIGMOD 2010 §4): every (new, reference) pair whose
+    char-n-gram-shingle Jaccard >= ``threshold`` → ``(new_id, ref_id,
+    jaccard)``. No false negatives — same lossless prefix filter as
+    :func:`jaccard_similarity_join`, with ONE shared shingle ordering:
+    document frequency is computed over the UNION of both corpora (the
+    prefix-filter guarantee needs both sides ranked by the same total
+    order), each side indexes only its (|A| − ceil(t·|A|) + 1)
+    globally-rarest shingles, and candidates meet new-prefix ×
+    ref-prefix on those rare keys only. Verify re-joins the full
+    shingle arrays by id — per-pair JVM work, hot-shingle-skew-proof
+    like the self-join variant."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_lit = float(threshold)
+    scope: list[DataFrame] = []
+
+    def _shingled(docs: DataFrame, side: str) -> DataFrame:
+        return docs.select(
+            F.lit(side).alias("side"),
+            F.col(id_col).alias("id"),
+            char_shingles(F.col(text_col), n).alias("sh"),
+        ).filter(F.size("sh") > 0)
+
+    sh = _persist_materialized(
+        _shingled(new_docs, "n").unionByName(_shingled(reference, "r")),
+        scope,
+    )
+    flat = sh.select("side", "id", F.explode("sh").alias("g"))
+    df_tbl = flat.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = flat.join(df_tbl, "g").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("side", "id").orderBy("df", "g")
+        ),
+    )
+    sizes = sh.select("side", "id", F.size("sh").alias("sz"))
+    prefix = (
+        ranked.join(sizes, ["side", "id"])
+        .filter(
+            F.col("rnk")
+            <= F.col("sz") - F.ceil(F.lit(t_lit) * F.col("sz")) + F.lit(1)
+        )
+        .select("side", "id", "g")
+    )
+    prefix = _persist_materialized(prefix, scope)
+    cand = (
+        prefix.filter(F.col("side") == "n")
+        .select(F.col("id").alias("new_id"), "g")
+        .join(
+            prefix.filter(F.col("side") == "r").select(
+                F.col("id").alias("ref_id"), "g"
+            ),
+            "g",
+        )
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    full = sh.select("side", "id", "sh")
+    verified = (
+        cand.join(
+            full.filter(F.col("side") == "n").select(
+                F.col("id").alias("new_id"), F.col("sh").alias("sh_n")
+            ),
+            "new_id",
+        )
+        .join(
+            full.filter(F.col("side") == "r").select(
+                F.col("id").alias("ref_id"), F.col("sh").alias("sh_r")
+            ),
+            "ref_id",
+        )
+        .select(
+            "new_id",
+            "ref_id",
+            (
+                F.size(F.array_intersect("sh_n", "sh_r")).cast("double")
+                / F.size(F.array_union("sh_n", "sh_r")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t_lit)
+    )
+    return _materialize_and_release(verified, scope)
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup — the shape every periodic
+    crawl refresh needs: dedup the NEW batch against the already-kept
+    REFERENCE corpus without ever re-shuffling the reference's text.
+
+    Exact tier (always): a new doc is dropped if its normalized-content
+    fingerprint already exists in the reference (left_anti on the
+    64-bit key — fixed-width shuffle, reference side reduced to
+    distinct fingerprints), then the survivors are exact-deduped among
+    themselves (keep = min id). With ``threshold`` set, a near tier
+    additionally drops survivors whose char-shingle Jaccard against ANY
+    reference doc >= threshold (:func:`cross_jaccard_join` — exact, no
+    false negatives). Returns ``(keep_id, dup_count)`` per surviving
+    content group, same contract as :func:`exact_dedup`."""
+    fp_new = new_docs.select(
+        F.col(id_col),
+        F.xxhash64(_normalized(F.col(text_col))).alias("fingerprint"),
+    )
+    fp_ref = reference.select(
+        F.xxhash64(_normalized(F.col(text_col))).alias("fingerprint")
+    ).distinct()
+    fresh = fp_new.join(fp_ref, "fingerprint", "left_anti")
+    if threshold is not None:
+        near = cross_jaccard_join(
+            new_docs, reference, threshold, id_col, text_col, n
+        ).select(F.col("new_id").alias(id_col)).distinct()
+        fresh = fresh.join(near, id_col, "left_anti")
+    return fresh.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("dup_count"),
+    )

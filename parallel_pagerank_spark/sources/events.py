@@ -268,3 +268,43 @@ def decayed_event_edges(
         )
         .select("src", "dst", "weight")
     )
+
+
+def parse_props(
+    events: DataFrame, fields: dict[str, str] | None = None
+) -> DataFrame:
+    """Typed columns out of the semi-structured ``props`` JSON payload
+    (the metadata side-channel every telemetry/transcript feed carries).
+    ``fields`` maps JSON key → Spark cast type; default extracts the
+    testdata's ``k`` as a long. Extraction is ``get_json_object`` —
+    JVM-side JSON path evaluation inside whole-stage codegen, no
+    Python — and ``try_cast`` semantics via the permissive path
+    (get_json_object yields NULL for absent keys / non-JSON, matching
+    DuckDB's json_extract_string).
+
+    Scale shape: a pure per-row projection — no shuffle at all; at
+    100 TB the only cost is the scan, and unused props keys are never
+    materialized."""
+    fields = fields or {"k": "long"}
+    cols = [
+        F.get_json_object(F.col("props"), f"$.{key}")
+        .cast(typ)
+        .alias(f"prop_{key}")
+        for key, typ in fields.items()
+    ]
+    return events.select("event_id", "event_type", *cols)
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Per-event_type stats of the extracted ``props.k`` payload:
+    ``(event_type, n, k_nulls, k_sum, k_min, k_max)``. All-integer on
+    purpose (sum/min/max, not avg) so the driver hash check is exact;
+    one hash aggregation after the stateless parse projection."""
+    parsed = parse_props(events)
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("prop_k").isNull()).alias("k_nulls"),
+        F.sum("prop_k").alias("k_sum"),
+        F.min("prop_k").alias("k_min"),
+        F.max("prop_k").alias("k_max"),
+    )
