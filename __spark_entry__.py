@@ -1614,6 +1614,121 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_train(_documents(spark, sf_dir), n_merges=20)
 
 
+def _inject_messy_urls(docs):
+    """Shared URL injection for the wave-17 URL-curation queries: one
+    URL per doc whose CANONICAL form is
+    https://site{doc_id%50}.example.com/page{doc_id%10}, dressed up by
+    doc_id%5 with the real-world mess canonical_url removes — mixed
+    case + www. + default port + trailing slash (v1), a tracking
+    parameter (v2), a fragment (v3), slash + two tracking params (v4);
+    v0 is already canonical. Since 10 | 50, the canonical key is
+    determined by doc_id%50 → 50 groups that url_dedup must collapse."""
+    g = F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+    p = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    i = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("https://site"), g, F.lit(".example.com/page"), p)
+    url = (
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 1,
+            F.concat(
+                F.lit("https://WWW.Site"),
+                g,
+                F.lit(".Example.COM:443/page"),
+                p,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 2,
+            F.concat(base, F.lit("?utm_source=feed"), i),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 3,
+            F.concat(base, F.lit("#sec"), i),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(5)) == 4,
+            F.concat(base, F.lit("/?utm_campaign=a&ref=r")),
+        )
+        .otherwise(base)
+    )
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" see "), url).alias("text")
+    )
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/urls.py canonical_url — the
+    URL-level dedup key every crawl pipeline computes before any
+    content pass): scheme+host lowercased, default port / www. /
+    fragment / tracking params / trailing slashes stripped, query
+    re-punctuated. One messy URL injected per doc (five variants —
+    see _inject_messy_urls); extraction + the full anchored-regex
+    canonicalization chain are Java∩RE2-portable, so url AND canonical
+    are both hash-exact against the DuckDB mirror."""
+    from parallel_pagerank_spark.functions.urls import canonical_urls
+
+    return canonical_urls(_inject_messy_urls(_documents(spark, sf_dir))).select(
+        "doc_id", "url", "canonical"
+    )
+
+
+def _q_url_dedup(spark, sf_dir):
+    """URL-level dedup readout (functions/urls.py url_dedup): one row
+    per canonical URL with the kept minimum doc_id, distinct-doc count,
+    and mention count — the injected corpus collapses 5 mess variants
+    into 50 canonical groups. One canonical-keyed aggregation
+    (countDistinct plans two-phase: a crawl-hot URL cannot pin a
+    reducer). All-integer + canonical string, hash-exact."""
+    from parallel_pagerank_spark.functions.urls import url_dedup
+
+    return url_dedup(_inject_messy_urls(_documents(spark, sf_dir)))
+
+
+def _q_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling: canonical URL → domain as the
+    stratum, then EXACTLY min(3, |domain|) docs per domain via
+    splits.sample_per_stratum_k (portable-hash order, deterministic,
+    prefix-stable) — the per-domain cap web corpora apply so one giant
+    site cannot dominate the training mix. Oracle mirrors the hash and
+    the row_number cut verbatim; all output columns integer/string,
+    hash-exact."""
+    from parallel_pagerank_spark.functions.splits import (
+        sample_per_stratum_k,
+    )
+    from parallel_pagerank_spark.functions.urls import (
+        canonical_urls,
+        url_domain,
+    )
+
+    per_doc = canonical_urls(
+        _inject_messy_urls(_documents(spark, sf_dir))
+    ).select("doc_id", url_domain(F.col("canonical")).alias("domain"))
+    return sample_per_stratum_k(
+        per_doc, "domain", k=3, id_col="doc_id"
+    ).select("doc_id", "domain")
+
+
+def _q_quality_classifier(spark, sf_dir):
+    """Count-ratio linear quality classifier (functions/classify.py —
+    the GPT-3/WebText-style quality-filter step with the log-count
+    ratio kept in exact cross-multiplied integer form, so training AND
+    scoring are bit-identical across engines): trained with
+    source='src0' as the positive slice, every document scored
+    score = Σ tf·(c_pos·N_neg − c_neg·N_pos). All-integer, hash-exact;
+    vocabulary-sized model broadcast, corpus scanned once per pass."""
+    from parallel_pagerank_spark.functions.classify import (
+        score_documents,
+        train_count_classifier,
+    )
+
+    docs = _documents(spark, sf_dir)
+    model = train_count_classifier(
+        docs.withColumn("label", F.col("source") == F.lit("src0"))
+    )
+    return score_documents(docs, model)
+
+
 def _q_knn_pq(spark, sf_dir):
     """PQ-ADC approximate top-5 (functions/similarity.py l2_topk_pq —
     Jégou TPAMI'11 asymmetric distance): corpus encoded against the
@@ -1977,6 +2092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": _q_props_stats,
         "cross_jaccard": _q_cross_jaccard,
         "dedup_incremental": _q_dedup_incremental,
+        "url_canonical": _q_url_canonical,
+        "url_dedup": _q_url_dedup,
+        "domain_quota": _q_domain_quota,
+        "quality_classifier": _q_quality_classifier,
         "bpe_merges": _q_bpe_merges,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
@@ -3286,6 +3405,10 @@ FROM tf JOIN df USING (term) CROSS JOIN s
         "bpe_pairs": _bpe_pairs_sql(),
         "cross_jaccard": _cross_jaccard_sql(0.9),
         "dedup_incremental": _dedup_incremental_sql(0.9),
+        "url_canonical": _url_canonical_sql(),
+        "url_dedup": _url_dedup_sql(),
+        "domain_quota": _domain_quota_sql(3),
+        "quality_classifier": _quality_classifier_sql(),
         "props_stats": """
 WITH parsed AS (
   SELECT event_type,
@@ -4090,6 +4213,151 @@ u AS (
         FROM s))
 SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
 FROM u GROUP BY domain
+"""
+
+
+def _inject_urls_sql() -> str:
+    """CTE mirroring _inject_messy_urls (one dressed-up URL per doc)."""
+    return """
+s AS MATERIALIZED (
+  SELECT doc_id,
+         text || ' see ' ||
+         CASE doc_id % 5
+           WHEN 1 THEN 'https://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.Example.COM:443/page'
+                    || CAST(doc_id % 10 AS VARCHAR) || '/'
+           WHEN 2 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/page' || CAST(doc_id % 10 AS VARCHAR)
+                    || '?utm_source=feed' || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/page' || CAST(doc_id % 10 AS VARCHAR)
+                    || '#sec' || CAST(doc_id AS VARCHAR)
+           WHEN 4 THEN 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/page' || CAST(doc_id % 10 AS VARCHAR)
+                    || '/?utm_campaign=a&ref=r'
+           ELSE 'https://site' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.example.com/page' || CAST(doc_id % 10 AS VARCHAR)
+         END AS text
+  FROM documents)"""
+
+
+def _canonical_url_sql(expr: str) -> str:
+    """DuckDB expression mirroring functions/urls.py canonical_url
+    step-for-step (the patterns are identical Java∩RE2-portable
+    strings; only the replacement backreference syntax differs,
+    $1 Spark-side vs \\1 RE2-side)."""
+    head = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')), "
+        r"'^(http://[^/:]+):80$', '\1'), "
+        r"'^(https://[^/:]+):443$', '\1'), "
+        r"'^(https?://)www\.', '\1')"
+    )
+    rest = (
+        f"({expr})[length(regexp_extract({expr}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))+1:]"
+    )
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace("
+        f"{head} || {rest}, "
+        "'#.*$', '', 'g'), "
+        "'[?&](?:utm_[a-z0-9_]*|gclid|fbclid|ref)=[^&#]*', '', 'g'), "
+        r"'^([^?&]*)&', '\1?'), "
+        r"'/+\?', '?', 'g'), "
+        "'[?&]+$', '', 'g'), "
+        "'/+$', '', 'g')"
+    )
+
+
+def _canonical_urls_cte() -> str:
+    """Injection + extraction + canonicalization CTE chain shared by
+    the three wave-17 URL oracles; exposes c(doc_id, url, canonical)."""
+    from parallel_pagerank_spark.functions.urls import URL_PATTERN
+
+    return f"""
+WITH {_inject_urls_sql()},
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url
+  FROM s),
+c AS (
+  SELECT doc_id, url, {_canonical_url_sql('url')} AS canonical
+  FROM u)"""
+
+
+def _url_canonical_sql() -> str:
+    return _canonical_urls_cte() + "\nSELECT doc_id, url, canonical FROM c"
+
+
+def _url_dedup_sql() -> str:
+    return (
+        _canonical_urls_cte()
+        + """
+SELECT canonical,
+       min(doc_id) AS keep_id,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occ
+FROM c GROUP BY canonical"""
+    )
+
+
+def _domain_quota_sql(k: int = 3) -> str:
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    bucket = split_bucket_sql("doc_id")
+    return (
+        _canonical_urls_cte()
+        + f""",
+d AS (
+  SELECT doc_id,
+         lower(regexp_extract(canonical, '^https?://([^/:]+)', 1)) AS domain
+  FROM c),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain ORDER BY {bucket}, doc_id) AS rn
+  FROM d)
+SELECT doc_id, domain FROM r WHERE rn <= {k}"""
+    )
+
+
+def _quality_classifier_sql() -> str:
+    """Mirror of _q_quality_classifier: identical tokenization (the
+    engine-wide canonical normalization), per-class token counts,
+    exact integer cross-multiplied weights, and per-doc score sums —
+    every value an exact integer, so the hash check is bit-identical."""
+    return r"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents)
+  WHERE term <> ''),
+lab AS (SELECT doc_id, (source = 'src0') AS pos FROM documents),
+lt AS MATERIALIZED (
+  SELECT t.term, l.pos FROM tk t JOIN lab l USING (doc_id)),
+pt AS (
+  SELECT term,
+         count(*) FILTER (pos) AS c_pos,
+         count(*) FILTER (NOT pos) AS c_neg
+  FROM lt GROUP BY term),
+tot AS (
+  SELECT count(*) FILTER (pos) AS n_pos,
+         count(*) FILTER (NOT pos) AS n_neg
+  FROM lt),
+m AS (
+  SELECT term, c_pos * n_neg - c_neg * n_pos AS weight
+  FROM pt CROSS JOIN tot),
+sc AS (
+  SELECT t.doc_id,
+         sum(coalesce(m.weight, 0)) AS score,
+         count(*) AS n_toks
+  FROM tk t LEFT JOIN m USING (term) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+       CAST(coalesce(sc.n_toks, 0) AS BIGINT) AS n_toks
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 

@@ -70,6 +70,86 @@ def domain_stats(
     )
 
 
+# query parameters stripped by canonical_url: the widely-published
+# analytics/click identifiers (the utm_* family plus the Google/Facebook
+# click ids and the bare referral tag). Java∩RE2-portable.
+TRACKING_PARAM_PATTERN = r"[?&](?:utm_[a-z0-9_]*|gclid|fbclid|ref)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL Column — the URL-level dedup key every
+    crawl pipeline needs (the same page arrives via http/https,
+    with/without www., with tracking parameters, with a fragment, with
+    a trailing slash — one canonical string collapses them all):
+
+    1. scheme + host lowercased (path/query case is significant, RFC
+       3986 §6.2.2.1, so only the authority prefix is folded);
+    2. default port stripped (``:80`` for http, ``:443`` for https);
+    3. leading ``www.`` host label stripped;
+    4. fragment stripped (never sent to the server);
+    5. tracking query parameters stripped (utm_*, gclid, fbclid, ref),
+       with the query string re-punctuated (first surviving ``&``
+       promoted to ``?``, dangling separators dropped);
+    6. trailing path slashes stripped (``/a/`` ≡ ``/a``, root ``/``
+       dropped too — one consistent choice, applied everywhere).
+
+    Pure Column expressions (anchored regexes from the Java∩RE2
+    portable subset — the PII_PATTERNS contract), so the DuckDB oracle
+    reproduces every step verbatim and the whole pass stays inside
+    whole-stage codegen, scan-side at 100 TB.
+    """
+    head = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    rest = F.substring(url, F.length(head) + 1, F.lit(2147483647))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^/:]+):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]+):443$", r"$1")
+    head = F.regexp_replace(head, r"^(https?://)www\.", r"$1")
+    c = F.concat(head, rest)
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, F.lit(TRACKING_PARAM_PATTERN), F.lit(""))
+    c = F.regexp_replace(c, r"^([^?&]*)&", r"$1?")
+    c = F.regexp_replace(c, r"/+\?", "?")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"/+$", "")
+    return c
+
+
+def canonical_urls(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, url, canonical): every URL occurrence with its
+    canonical form — :func:`extract_urls` + :func:`canonical_url`,
+    still a pure scan-side projection."""
+    return extract_urls(docs, id_col, text_col).withColumn(
+        "canonical", canonical_url(F.col("url"))
+    )
+
+
+def url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """URL-level dedup readout → (canonical, keep_id, n_docs, n_occ):
+    one row per canonical URL with the kept (minimum-id) document, the
+    number of DISTINCT documents mentioning it, and the total mention
+    count — the crawl-refresh primitive (fetch each canonical URL once;
+    CCNet/RefinedWeb both dedup at the URL level before any content
+    pass, since it is free relative to text dedup).
+
+    One shuffle keyed on the canonical string; cardinality is
+    |distinct URLs|, and the countDistinct plans two-phase so a
+    corpus-hot URL cannot pin a reducer with raw rows.
+    """
+    return (
+        canonical_urls(docs, id_col, text_col)
+        .groupBy("canonical")
+        .agg(
+            F.min(F.col("doc_id")).alias("keep_id"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+
+
 def filter_blocked_domains(
     docs: DataFrame,
     blocklist: DataFrame | Iterable[str],
