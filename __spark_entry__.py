@@ -1729,6 +1729,76 @@ def _q_quality_classifier(spark, sf_dir):
     return score_documents(docs, model)
 
 
+def _q_asof_view_click(spark, sf_dir):
+    """As-of join (functions/asof.py — the temporal enrichment
+    primitive Spark lacks natively): every click attributed to the
+    latest at-or-before view by the same user. Views pre-aggregated to
+    one row per (user_id, ts) keeping max(event_id) so the match is
+    well-defined; the engine's union-and-running-last plan is ONE
+    shuffle keyed on user_id (sessionize's shape — no range join, no
+    per-key quadratic work), while the oracle uses DuckDB's native
+    ASOF LEFT JOIN — two independent formulations of the same
+    semantics. Timestamps compare as exact epoch µs; all output
+    integer, hash-exact."""
+    from parallel_pagerank_spark.functions.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(clicks, views, on="user_id").select(
+        "click_id",
+        "user_id",
+        F.col("r_view_id").alias("view_id"),
+        F.col("r_ts_us").alias("view_ts_us"),
+        "gap_us",
+    )
+
+
+def _q_cc_incremental(spark, sf_dir):
+    """Incremental connected components (operators/components.py
+    connected_components_incremental — the crawl-refresh path): the
+    transcript graph split deterministically into an old snapshot
+    (pmod(src+dst,5) != 0) and a new edge batch, old snapshot's labels
+    re-read as diameter-2 star edges and unioned with the batch. The
+    oracle runs plain FastSV over the FULL edge set — the hash match IS
+    the proof that the incremental result equals the from-scratch one,
+    at |V| old-side rows instead of |E_old|."""
+    from parallel_pagerank_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir))
+    batch = F.pmod(F.col("src") + F.col("dst"), F.lit(5)) == 0
+    prev = connected_components(edges.filter(~batch)).components
+    res = connected_components_incremental(prev, edges.filter(batch))
+    return (
+        res.components.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("component"))
+    )
+
+
+def _q_hot_users(spark, sf_dir):
+    """Hot-key skew diagnostic (functions/profile.py hot_keys): the
+    25 heaviest user_ids by exact event count with their corpus share —
+    what a 100 TB job reads before deciding salting / broadcast /
+    degree caps. Two-phase count agg + TakeOrderedAndProject (plan-
+    pinned in tests); ties at the cut break by smallest key so the
+    returned set is deterministic. n exact int64; share = one IEEE
+    division rounded 9."""
+    from parallel_pagerank_spark.functions.profile import hot_keys
+
+    return hot_keys(_events(spark, sf_dir), "user_id", k=25)
+
+
 def _q_knn_pq(spark, sf_dir):
     """PQ-ADC approximate top-5 (functions/similarity.py l2_topk_pq —
     Jégou TPAMI'11 asymmetric distance): corpus encoded against the
@@ -2096,6 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "domain_quota": _q_domain_quota,
         "quality_classifier": _q_quality_classifier,
+        "asof_view_click": _q_asof_view_click,
+        "cc_incremental": _q_cc_incremental,
+        "hot_users": _q_hot_users,
         "bpe_merges": _q_bpe_merges,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
@@ -3409,6 +3482,25 @@ FROM tf JOIN df USING (term) CROSS JOIN s
         "url_dedup": _url_dedup_sql(),
         "domain_quota": _domain_quota_sql(3),
         "quality_classifier": _quality_classifier_sql(),
+        "asof_view_click": """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'),
+v AS (
+  SELECT user_id, epoch_us(ts) AS t, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts))
+SELECT c.click_id, c.user_id, v.view_id,
+       v.t AS view_ts_us, c.t - v.t AS gap_us
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.t >= v.t
+""",
+        "cc_incremental": _cc_sql(),
+        "hot_users": """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+     t AS (SELECT count(*) AS tot FROM events)
+SELECT user_id, n, round(n / tot, 9) AS share
+FROM c CROSS JOIN t
+ORDER BY n DESC, user_id ASC LIMIT 25
+""",
         "props_stats": """
 WITH parsed AS (
   SELECT event_type,

@@ -220,3 +220,34 @@ def distribution_drift(
     return joined.select(
         "bucket", "a_n", "b_n", ((p - q) * F.log(p / q)).alias("psi_term")
     )
+
+
+def hot_keys(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Top-``k`` heaviest values of ``key_col`` by exact row count →
+    ``(key_col, n, share)`` — the skew diagnostic read BEFORE choosing a
+    join/agg strategy (the north rule's salted-repartitioning and the
+    linkanalysis degree caps all need to know which keys are hot; at
+    100 TB you measure skew, you don't guess it).
+
+    One scan: a two-phase hash aggregation keyed on the value (map-side
+    partial counts, so the hot key itself never ships raw rows) plus a
+    broadcast 1-row total, then a TakeOrderedAndProject top-k (per-
+    partition heap — no full sort). Ties at the cut break by smallest
+    key, so the returned SET is deterministic. ``share`` = n/total as a
+    single IEEE division of exact int64 counts (engine-portable
+    bit-for-bit); nulls count as a key like any other.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 9).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(k)
+    )
