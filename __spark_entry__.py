@@ -1799,6 +1799,22 @@ def _q_hot_users(spark, sf_dir):
     return hot_keys(_events(spark, sf_dir), "user_id", k=25)
 
 
+def _q_weighted_sample_k(spark, sf_dir):
+    """Weight-proportional exact-k sample (functions/splits.py
+    weighted_sample_k — Duffield-Lund-Thorup priority sampling /
+    Ohlsson sequential Poisson): the 60 smallest u/w priority keys with
+    w = n_chars, u from the portable hash. The key is one exact
+    power-of-two scale plus one IEEE double division, so the DuckDB
+    oracle replays it bit-identically. Plans as TakeOrderedAndProject
+    (per-partition 60-row heap), the weight filter pushes to the
+    scan."""
+    from parallel_pagerank_spark.functions.splits import weighted_sample_k
+
+    return weighted_sample_k(
+        _documents(spark, sf_dir), 60, "n_chars"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _q_knn_pq(spark, sf_dir):
     """PQ-ADC approximate top-5 (functions/similarity.py l2_topk_pq —
     Jégou TPAMI'11 asymmetric distance): corpus encoded against the
@@ -2170,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": _q_cc_incremental,
         "hot_users": _q_hot_users,
         "bpe_merges": _q_bpe_merges,
+        "weighted_sample_k": _q_weighted_sample_k,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3410,6 +3427,7 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "test_containment": _containment_sql(4),
         "mis": _mis_sql(30, 12),
         "sample_k": _sample_k_sql(50),
+        "weighted_sample_k": _weighted_sample_k_sql(60),
         "sample_k_per_lang": _sample_k_per_stratum_sql(10),
         "funnel": _funnel_sql(("view", "click", "purchase")),
         "boilerplate": _boilerplate_sql(3, 15, " the "),
@@ -4023,6 +4041,21 @@ def _sample_k_sql(k: int) -> str:
     return f"""
 SELECT doc_id, lang FROM documents
 ORDER BY ({split_bucket_sql('doc_id')}), doc_id LIMIT {k}
+"""
+
+
+def _weighted_sample_k_sql(k: int) -> str:
+    # generated by the SAME helper the engine uses (bit-identical
+    # priority keys — one exact power-of-two scale + one IEEE division)
+    from parallel_pagerank_spark.functions.splits import (
+        weighted_sample_sql,
+    )
+
+    tail = weighted_sample_sql(k, "n_chars", "doc_id")
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+{tail}
 """
 
 

@@ -243,3 +243,80 @@ def sample_per_stratum_k(
         .filter(F.col("__rn") <= k)
         .drop("__b", "__rn")
     )
+
+
+def weighted_priority_key(
+    id_col: Column,
+    weight_col: Column,
+    salt: int = 0,
+    method: str = "portable",
+) -> Column:
+    """Priority-sampling key u/w (Duffield-Lund-Thorup "priority
+    sampling", JACM 2007; Ohlsson's sequential Poisson sampling, 1998):
+    u uniform in (0, 1] from the portable hash, w the row's positive
+    weight. Taking the k SMALLEST keys yields a weight-proportional
+    (approximately πps) sample of exactly k rows.
+
+    Float-portability: u = (bucket + 1) / 2^32 is an exact power-of-two
+    scale (no rounding), and u / w is a single IEEE-754
+    correctly-rounded double division — so Spark, DuckDB, and numpy
+    produce BIT-IDENTICAL keys and therefore identical samples, the
+    same portability contract as :func:`split_bucket`.
+    """
+    u = (
+        split_bucket(id_col, salt=salt, method=method) + F.lit(1)
+    ).cast("double") / F.lit(float(_M))
+    return u / weight_col.cast("double")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    method: str = "portable",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of EXACTLY k rows:
+    the k smallest (u/w, id) priority keys.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined inclusion probability). Uniform :func:`sample_fixed_k` is
+    the w == const special case. Changing ``salt`` re-deals the whole
+    sample; for a FIXED salt the sample has the same prefix property
+    as the uniform cut (k+1 sample = k sample + one row).
+
+    Scale shape: ORDER BY + LIMIT k plans as TakeOrderedAndProject —
+    a per-partition k-row heap and a k-row driver merge, never a full
+    sort (same plan as :func:`sample_fixed_k`; the weight filter is a
+    pushable predicate).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    key = weighted_priority_key(
+        F.col(id_col), F.col(weight_col), salt=salt, method=method
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__k", key)
+        .orderBy("__k", id_col)
+        .limit(k)
+        .drop("__k")
+    )
+
+
+def weighted_sample_sql(
+    k: int,
+    weight_expr: str,
+    id_expr: str = "doc_id",
+    salt: int = 0,
+) -> str:
+    """ORDER BY ... LIMIT tail mirroring :func:`weighted_sample_k`
+    (DuckDB oracle; bit-identical keys — see
+    :func:`weighted_priority_key`). Callers prepend their SELECT/WHERE;
+    the weight-positivity filter must be in the caller's WHERE."""
+    bucket = split_bucket_sql(id_expr, salt=salt)
+    return (
+        f"ORDER BY ((({bucket}) + 1) / {float(_M)}) / "
+        f"(({weight_expr})::DOUBLE), {id_expr} LIMIT {k}"
+    )
