@@ -1815,6 +1815,36 @@ def _q_weighted_sample_k(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup keep-set (functions/similarity.py semantic_dedup —
+    Abbas et al. 2023): embeddings + 30 injected exact copies are
+    clustered onto 8 deterministic centroids (first vec_ids); within
+    each cluster, any vector cosine-similar (>= 0.9) to a smaller-id
+    vector is dropped. The copies (cos = 1.0 with their originals,
+    shifted ids) must all drop; natural pairs stay below 0.9 (the
+    emb_near_dups data precondition). Pair work is confined to
+    clusters — O(n^2/k), the SemDeDup scale design. Integer output;
+    float cosines internal (ulp-argmax caveat as cluster_assign)."""
+    from parallel_pagerank_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    emb = _embeddings(spark, sf_dir).filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding")
+    dup = (
+        emb.orderBy("vec_id")
+        .limit(30)
+        .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), "embedding")
+    )
+    return semantic_dedup(emb.unionByName(dup), cents, threshold=0.9)
+
+
 def _q_knn_pq(spark, sf_dir):
     """PQ-ADC approximate top-5 (functions/similarity.py l2_topk_pq —
     Jégou TPAMI'11 asymmetric distance): corpus encoded against the
@@ -2187,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_users": _q_hot_users,
         "bpe_merges": _q_bpe_merges,
         "weighted_sample_k": _q_weighted_sample_k,
+        "semantic_dedup": _q_semantic_dedup,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3428,6 +3459,38 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "mis": _mis_sql(30, 12),
         "sample_k": _sample_k_sql(50),
         "weighted_sample_k": _weighted_sample_k_sql(60),
+        "semantic_dedup": """
+WITH aug AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 30)
+),
+c AS MATERIALIZED (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8),
+assign AS MATERIALIZED (
+  SELECT id, centroid_id FROM (
+    SELECT v.vec_id AS id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(
+               v.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+               c.centroid_id) AS rn
+    FROM aug v, c)
+  WHERE rn = 1),
+av AS MATERIALIZED (
+  SELECT a.id, a.centroid_id, v.embedding
+  FROM assign a JOIN aug v ON v.vec_id = a.id),
+dropped AS (
+  SELECT DISTINCT y.id FROM av x JOIN av y
+    ON x.centroid_id = y.centroid_id AND x.id < y.id
+  WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                               y.embedding::DOUBLE[]) >= 0.9)
+SELECT id, centroid_id FROM assign
+WHERE id NOT IN (SELECT id FROM dropped)
+""",
         "sample_k_per_lang": _sample_k_per_stratum_sql(10),
         "funnel": _funnel_sql(("view", "click", "purchase")),
         "boilerplate": _boilerplate_sql(3, 15, " the "),

@@ -754,3 +754,100 @@ def l2_topk_pq(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+def semantic_dup_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Within-cluster semantic near-duplicate pairs — the pair-mining
+    half of SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): embeddings are first assigned to their nearest
+    centroid (:func:`assign_to_centroids`), then cosine similarity is
+    computed ONLY between vectors sharing a centroid; pairs with
+    cosine >= threshold are semantic duplicates.
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+
+    Scale shape: this is the whole point of SemDeDup — the quadratic
+    pair work is confined to clusters of expected size n/k, so total
+    work is O(n^2/k) instead of O(n^2), and the self-join shuffles on
+    the centroid id. Choose k proportional to n (the paper uses
+    ~n/10^4..10^5 per cluster at web scale) to bound cluster size; a
+    pathologically hot cluster is the same hot-key problem as any
+    skewed join (cap it with a per-cluster size quota or re-cluster
+    its members against sub-centroids).
+    """
+    assign = assign_to_centroids(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ).join(assign, "id")
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "centroid_id",
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "centroid_id",
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """SemDeDup keep-set: drop a vector iff SOME SMALLER-id vector in
+    its cluster is cosine-similar at >= threshold; keep the rest.
+
+    Returns ``(id, centroid_id)`` of the kept vectors.
+
+    The drop rule is the id-priority DOMINANCE rule — deterministic,
+    one anti-join, and exactly expressible in SQL (the driver oracle
+    replays it) — not the sequential greedy chain of the original
+    implementation (greedy re-checks against *kept* docs only, so it
+    can retain a doc whose only close neighbor was itself dropped).
+    Dominance drops a superset of greedy's drops: every greedy-dropped
+    doc is dominance-dropped (its kept witness has a smaller id), so
+    the kept set is conservative for training-data purposes (never
+    keeps a pair closer than the threshold ... any two kept docs are
+    below it under BOTH rules). For one-per-group semantics over
+    transitive chains use :func:`~..dedup.near_dup_clusters`-style
+    components on the pair graph instead.
+    """
+    pairs = semantic_dup_pairs(
+        vectors, centroids, threshold, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    assign = assign_to_centroids(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+    )
+    dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return assign.join(dropped, "id", "left_anti")

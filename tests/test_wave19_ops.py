@@ -96,3 +96,95 @@ def test_weighted_sample_plan_is_topk(spark, weighted_df):
         weighted_df, 5, "w", id_col="id"
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- SemDeDup -------------------------------------------------------------
+
+import math
+
+
+def _vec(theta, scale=1.0):
+    return [scale * math.cos(theta), scale * math.sin(theta)]
+
+
+@pytest.fixture()
+def sem_vectors(spark):
+    # two well-separated clusters on the unit circle; within cluster 0 a
+    # chain a~b, b~c with a NOT ~ c at the 0.95 threshold
+    rows = [
+        (0, _vec(0.0)),          # a
+        (1, _vec(0.22)),         # b: cos(0.22)=0.9759 ~ a
+        (2, _vec(0.44)),         # c: cos(0.22) ~ b, cos(0.44)=0.9048 !~ a
+        (3, _vec(2.0)),          # second cluster
+        (4, _vec(2.0, 3.0)),     # same direction, different norm -> cos 1
+        (5, _vec(2.6)),          # cos(0.6)=0.825 to 3/4 -> kept
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _cents(spark):
+    return spark.createDataFrame(
+        [(100, _vec(0.1)), (200, _vec(2.2))],
+        "centroid_id long, embedding array<double>",
+    )
+
+
+def test_semantic_dup_pairs(spark, sem_vectors):
+    from parallel_pagerank_spark.functions.similarity import (
+        semantic_dup_pairs,
+    )
+
+    pairs = semantic_dup_pairs(
+        sem_vectors, _cents(spark), threshold=0.95
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1), (1, 2), (3, 4)}
+
+
+def test_semantic_dedup_dominance(spark, sem_vectors):
+    from parallel_pagerank_spark.functions.similarity import semantic_dedup
+
+    kept = semantic_dedup(sem_vectors, _cents(spark), threshold=0.95)
+    ids = {r.id for r in kept.collect()}
+    # dominance drops 1 (dominated by 0), 2 (dominated by 1 even though 1
+    # itself dropped — documented superset-of-greedy rule), 4 (by 3)
+    assert ids == {0, 3, 5}
+    # kept set is pairwise below threshold
+    rows = {r.vec_id: r.embedding for r in sem_vectors.collect()}
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.hypot(*u) * math.hypot(*v))
+
+    for a in ids:
+        for b in ids:
+            if a < b:
+                assert cos(rows[a], rows[b]) < 0.95
+
+
+def test_semantic_dedup_drops_exact_copies(spark, sem_vectors):
+    from parallel_pagerank_spark.functions.similarity import semantic_dedup
+
+    copies = sem_vectors.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    kept = semantic_dedup(
+        sem_vectors.unionByName(copies), _cents(spark), threshold=0.95
+    )
+    ids = {r.id for r in kept.collect()}
+    assert ids == {0, 3, 5}  # every copy has a smaller-id exact twin
+
+
+def test_semantic_pairs_confined_to_clusters(spark, sem_vectors):
+    # vectors in different clusters are NEVER compared, even if similar:
+    # give each cluster's centroid its own far-side vector pair
+    from parallel_pagerank_spark.functions.similarity import (
+        semantic_dup_pairs,
+    )
+
+    # 0.95 threshold; ids 0 and 2 are in cluster 100, id 3/4 in 200 —
+    # no cross-cluster pair can appear by construction
+    pairs = semantic_dup_pairs(sem_vectors, _cents(spark), threshold=0.0)
+    assign = {0: 100, 1: 100, 2: 100, 3: 200, 4: 200, 5: 200}
+    for r in pairs.collect():
+        assert assign[r.id_a] == assign[r.id_b]
