@@ -1397,6 +1397,24 @@ def _q_mis(spark, sf_dir):
     return res.members
 
 
+def _q_maximal_matching(spark, sf_dir):
+    """Deterministic local-max maximal matching (operators/matching.py —
+    Preis 1999 / Birn ESA'13 with portable-hash priorities) on the
+    undirected mod-30 subgraph. Per round an edge wins iff its
+    (bucket, u, v) triple is the strict minimum among edges sharing
+    either endpoint; the oracle replays the identical rounds with a
+    row_number arg-min (valid: event ids < 2^31 for the packed edge
+    key). All-integer, hash-exact."""
+    from parallel_pagerank_spark.operators.matching import (
+        maximal_matching,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir).filter((F.col("user_id") % 30) == 0)
+    res = maximal_matching(event_graph_edges(ev))
+    return res.pairs
+
+
 def _q_quotient_lpa5(spark, sf_dir):
     """Community-to-community traffic: the quotient multigraph
     (operators/scc.py quotient_graph, intra pairs kept) of the 5-step
@@ -2218,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "weighted_sample_k": _q_weighted_sample_k,
         "semantic_dedup": _q_semantic_dedup,
+        "maximal_matching": _q_maximal_matching,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3457,6 +3476,7 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "windowed_counts": _windowed_counts_sql(3_600_000_000),
         "test_containment": _containment_sql(4),
         "mis": _mis_sql(30, 12),
+        "maximal_matching": _matching_sql(30, 12),
         "sample_k": _sample_k_sql(50),
         "weighted_sample_k": _weighted_sample_k_sql(60),
         "semantic_dedup": """
@@ -3971,6 +3991,63 @@ SELECT {start} AS window_start_us,
 FROM events
 GROUP BY 1, 2, 3
 """
+
+
+def _matching_sql(user_mod: int, rounds: int) -> str:
+    """Unrolled deterministic local-max matching mirroring
+    operators/matching.maximal_matching on the undirected simple graph
+    of the mod subgraph. Per round: portable bucket of the packed edge
+    key (u·2^31 + v, valid for ids < 2^31) salted by the round number;
+    an edge wins iff it is the row_number-1 arg-min of (p, u, v) at
+    BOTH endpoints; winners' endpoints retire. Extra rounds past the
+    fixpoint are no-ops (empty active set). All-integer, hash-exact."""
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE user_id % {user_mod} = 0),
+reply AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+handoff AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+  WHERE src <> dst),
+m0 AS (SELECT u, v FROM e0 WHERE FALSE)"""]
+    for r in range(1, rounds + 1):
+        key = split_bucket_sql("u * 2147483648 + v", salt=r)
+        parts.append(f""",
+k{r} AS MATERIALIZED (SELECT u, v, {key} AS p FROM e{r - 1}),
+mn{r} AS MATERIALIZED (
+  SELECT ep, u, v FROM (
+    SELECT ep, u, v,
+           row_number() OVER (PARTITION BY ep ORDER BY p, u, v) AS rn
+    FROM (SELECT u AS ep, p, u, v FROM k{r}
+          UNION ALL SELECT v AS ep, p, u, v FROM k{r}))
+  WHERE rn = 1),
+w{r} AS MATERIALIZED (
+  SELECT k.u, k.v FROM k{r} k
+  JOIN mn{r} a ON a.ep = k.u AND a.u = k.u AND a.v = k.v
+  JOIN mn{r} b ON b.ep = k.v AND b.u = k.u AND b.v = k.v),
+tk{r} AS (
+  SELECT u AS ep FROM w{r} UNION SELECT v AS ep FROM w{r}),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  LEFT JOIN tk{r} a ON a.ep = e.u
+  LEFT JOIN tk{r} b ON b.ep = e.v
+  WHERE a.ep IS NULL AND b.ep IS NULL),
+m{r} AS MATERIALIZED (
+  SELECT u, v FROM m{r - 1} UNION ALL SELECT u, v FROM w{r})""")
+    parts.append(f"\nSELECT u, v FROM m{rounds}")
+    return "".join(parts)
 
 
 def _mis_sql(user_mod: int, rounds: int) -> str:

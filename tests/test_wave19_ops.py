@@ -7,6 +7,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from tests.conftest import edges_df
+
 from parallel_pagerank_spark.functions.splits import (
     _K,
     _M,
@@ -188,3 +190,97 @@ def test_semantic_pairs_confined_to_clusters(spark, sem_vectors):
     assign = {0: 100, 1: 100, 2: 100, 3: 200, 4: 200, 5: 200}
     for r in pairs.collect():
         assert assign[r.id_a] == assign[r.id_b]
+
+
+# --- Maximal matching ------------------------------------------------------
+
+from parallel_pagerank_spark.functions.splits import _K as _HK
+
+
+def _bucket(i, salt):
+    return ((i + salt) % 2_147_483_647) * _HK % 4_294_967_296
+
+
+def _matching_py(edge_list, max_iter=32, salt=0):
+    active = {
+        (min(s, d), max(s, d)) for s, d in edge_list if s != d
+    }
+    matched = set()
+    rounds = 0
+    while active and rounds < max_iter:
+        rounds += 1
+        keyed = {
+            e: (_bucket(e[0] * 2_147_483_648 + e[1], salt + rounds),) + e
+            for e in active
+        }
+        best = {}
+        for e, k in keyed.items():
+            for ep in e:
+                if ep not in best or k < keyed[best[ep]]:
+                    best[ep] = e
+        winners = {e for e in active
+                   if best[e[0]] == e and best[e[1]] == e}
+        matched |= winners
+        taken = {ep for e in winners for ep in e}
+        active = {e for e in active
+                  if e[0] not in taken and e[1] not in taken}
+    return matched, rounds
+
+
+@pytest.fixture()
+def match_graph():
+    # deterministic pseudo-random graph with dup/reversed/self edges
+    edges = []
+    x = 7
+    for _ in range(240):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        s = x % 60
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        d = x % 60
+        edges.append((s, d))
+    edges += [(5, 5), (1, 2), (2, 1)]
+    return edges
+
+
+def test_matching_python_parity(spark, match_graph):
+    from parallel_pagerank_spark.operators.matching import maximal_matching
+
+    res = maximal_matching(edges_df(spark, match_graph))
+    got = {(r.u, r.v) for r in res.pairs.collect()}
+    expect, rounds = _matching_py(match_graph)
+    assert got == expect
+    assert res.rounds == rounds
+    assert res.converged
+
+
+def test_matching_is_maximal_and_valid(spark, match_graph):
+    from parallel_pagerank_spark.operators.matching import maximal_matching
+
+    res = maximal_matching(edges_df(spark, match_graph))
+    pairs = [(r.u, r.v) for r in res.pairs.collect()]
+    seen = [ep for e in pairs for ep in e]
+    assert len(seen) == len(set(seen))  # a matching: vertex used once
+    taken = set(seen)
+    for s, d in match_graph:  # maximal: no free edge remains
+        if s != d:
+            assert s in taken or d in taken
+
+
+def test_matching_deterministic_across_partitioning(spark, match_graph):
+    from parallel_pagerank_spark.operators.matching import maximal_matching
+
+    a = maximal_matching(edges_df(spark, match_graph))
+    b = maximal_matching(
+        edges_df(spark, match_graph).repartition(13), num_partitions=3
+    )
+    assert {(r.u, r.v) for r in a.pairs.collect()} == {
+        (r.u, r.v) for r in b.pairs.collect()
+    }
+
+
+def test_matching_rejects_hash_magnitude_ids(spark):
+    from parallel_pagerank_spark.operators.matching import maximal_matching
+
+    bad = edges_df(spark, [(1, 2**33)])
+    with pytest.raises(ValueError, match="2\\^31"):
+        maximal_matching(bad)
