@@ -954,6 +954,26 @@ def _q_harmonic4(spark, sf_dir):
     )
 
 
+def _q_closeness4(spark, sf_dir):
+    """Bounded outward closeness per landmark (operators/bfs.py
+    closeness_centrality — truncated reachable-set closeness): readout
+    over the same landmark BFS as landmark_dist4/harmonic4. Count and
+    distance sum exact int64; closeness is ONE IEEE division, so no
+    rounding is needed for the hash check."""
+    from parallel_pagerank_spark.operators.bfs import (
+        closeness_centrality,
+        landmark_distances,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir)
+    landmarks = ev.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("id")
+    )
+    res = landmark_distances(event_graph_edges(ev), landmarks, max_hops=4)
+    return closeness_centrality(res)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """EXACT char-5-gram Jaccard similarity join at threshold 0.9
     (functions/dedup.py jaccard_similarity_join): the prefix-filtered
@@ -1413,6 +1433,45 @@ def _q_maximal_matching(spark, sf_dir):
     ev = _events(spark, sf_dir).filter((F.col("user_id") % 30) == 0)
     res = maximal_matching(event_graph_edges(ev))
     return res.pairs
+
+
+def _q_community_pagerank(spark, sf_dir):
+    """Community-level PageRank: the LPA-5 labeling coarsens the event
+    graph to its quotient multigraph (operators/scc.py quotient_graph,
+    n_links as edge weight), then 10 fixed power iterations of WEIGHTED
+    PageRank rank the communities themselves — the multilevel
+    link-analysis readout (which communities the link mass concentrates
+    in, not which vertices). Sparse label ids → explicit vertices (no
+    dense-range assumption); the oracle replays LPA + quotient + the
+    weighted update float-op-for-float-op; ranks rounded 9."""
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.labelprop import (
+        label_propagation,
+    )
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.operators.scc import quotient_graph
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    edges = event_graph_edges(_events(spark, sf_dir))
+    labels = label_propagation(edges, max_iter=5).labels
+    q = quotient_graph(edges, labels)
+    qe = q.select(
+        F.col("src_label").alias("src"),
+        F.col("dst_label").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    verts = labels.select(F.col("label").alias("id")).distinct()
+    res = pagerank(
+        qe,
+        vertices=verts,
+        config=PageRankConfig(tol=0.0, max_iter=10),
+        weight_col="weight",
+    )
+    return (
+        res.ranks.select("id", F.round("rank", 9).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
 
 
 def _q_quotient_lpa5(spark, sf_dir):
@@ -2199,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "test_containment": _q_test_containment,
         "mis": _q_mis,
         "quotient_lpa5": _q_quotient_lpa5,
+        "community_pagerank": _q_community_pagerank,
         "sample_k": _q_sample_k,
         "sample_k_per_lang": _q_sample_k_per_lang,
         "funnel": _q_funnel,
@@ -2237,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_k": _q_weighted_sample_k,
         "semantic_dedup": _q_semantic_dedup,
         "maximal_matching": _q_maximal_matching,
+        "closeness4": _q_closeness4,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -2542,6 +2603,56 @@ m{k} AS MATERIALIZED (SELECT {k}::BIGINT AS iteration,
         "ORDER BY rank DESC, id ASC LIMIT 20"
     )
     return "".join(parts)
+
+
+def _community_pr_sql(lpa_steps: int = 5, iters: int = 10) -> str:
+    """LPA-{lpa_steps} chain (reused from _lpa_sql) → quotient
+    multigraph (n_links weights, intra self-pairs kept) → {iters}
+    unrolled WEIGHTED power iterations over the SPARSE community-id
+    vertex set (verts = distinct labels, n = community count — no
+    dense-range assumption). Float ops mirror operators/pagerank.py:
+    weight/wsum per edge (wsum exact — integer-valued counts), damping
+    literals 0.85/(1.0-0.85), dangling mass ds·(1.0/n); ranks rounded
+    9."""
+    lab = f"l{lpa_steps}"
+    parts = [f""",
+qe AS MATERIALIZED (
+  SELECT la.label AS src, lb.label AS dst, count(*)::DOUBLE AS weight
+  FROM edges e JOIN {lab} la ON la.id = e.src
+               JOIN {lab} lb ON lb.id = e.dst
+  GROUP BY la.label, lb.label),
+qverts AS MATERIALIZED (SELECT DISTINCT label AS id FROM {lab}),
+qparams AS MATERIALIZED (
+  SELECT count(*) AS n, 1.0 / count(*) AS inv_n FROM qverts),
+qdeg AS MATERIALIZED (
+  SELECT src AS id, sum(weight) AS wsum FROM qe GROUP BY src),
+qp0 AS MATERIALIZED (
+  SELECT v.id, (SELECT inv_n FROM qparams) AS rank FROM qverts v),
+qd0 AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
+       FROM qp0 p LEFT JOIN qdeg g ON g.id = p.id WHERE g.id IS NULL)"""]
+    prev_p, prev_d = "qp0", "qd0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+qc{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(p.rank * (e.weight / g.wsum)) AS contrib
+  FROM qe e JOIN {prev_p} p ON p.id = e.src
+            JOIN qdeg g ON g.id = e.src
+  GROUP BY e.dst),
+qp{k} AS MATERIALIZED (
+  SELECT v.id,
+         0.85 * (coalesce(c.contrib, 0.0)
+                 + (SELECT ds FROM {prev_d})
+                   * (SELECT inv_n FROM qparams))
+         + (1.0 - 0.85) * (SELECT inv_n FROM qparams) AS rank
+  FROM {prev_p} v LEFT JOIN qc{k} c ON c.id = v.id),
+qd{k} AS MATERIALIZED (SELECT coalesce(sum(p.rank), 0.0) AS ds
+  FROM qp{k} p LEFT JOIN qdeg g ON g.id = p.id WHERE g.id IS NULL)""")
+        prev_p, prev_d = f"qp{k}", f"qd{k}"
+    parts.append(
+        f"\nSELECT id, round(rank, 9) AS rank FROM {prev_p} "
+        "ORDER BY rank DESC, id ASC LIMIT 20"
+    )
+    return _lpa_sql(lpa_steps, final_select="".join(parts))
 
 
 def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
@@ -2901,7 +3012,12 @@ f{k} AS MATERIALIZED (SELECT c.id, c.landmark FROM c{k} c
          WHERE s.id IS NULL),
 s{k} AS MATERIALIZED (SELECT id, landmark, dist FROM s{k - 1}
          UNION ALL SELECT id, landmark, {k}::BIGINT AS dist FROM f{k})""")
-    if harmonic:
+    if harmonic == "closeness":
+        parts.append(f"""
+SELECT landmark, count(*) AS n_reached, sum(dist) AS sum_dist,
+       count(*)::DOUBLE / sum(dist) AS closeness
+FROM s{rounds} WHERE dist > 0 GROUP BY landmark""")
+    elif harmonic:
         parts.append(f"""
 SELECT landmark, round(sum(1.0 / dist), 9) AS harmonic,
        count(*) AS n_reached
@@ -3416,6 +3532,7 @@ ORDER BY df DESC, total_tf DESC, term ASC LIMIT 50
         "katz20": _katz_sql(20),
         "landmark_dist4": _landmark_sql(4),
         "harmonic4": _landmark_sql(4, harmonic=True),
+        "closeness4": _landmark_sql(4, harmonic="closeness"),
         "ngram_jaccard": (
             f"WITH {_JACCARD_PAIRS_CTE}\n"
             "SELECT id_a, id_b, round(jaccard, 9) AS jaccard FROM jpairs"
@@ -3615,6 +3732,7 @@ SELECT event_type,
        max(k) AS k_max
 FROM parsed GROUP BY event_type
 """,
+        "community_pagerank": _community_pr_sql(5, 10),
         "quotient_lpa5": _lpa_sql(
             5,
             final_select=(

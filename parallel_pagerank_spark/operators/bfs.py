@@ -283,6 +283,31 @@ def harmonic_centrality(res: LandmarkResult) -> DataFrame:
     )
 
 
+def closeness_centrality(res: "LandmarkResult") -> DataFrame:
+    """Bounded outward closeness per landmark:
+    c(l) = n_reached / Σ_{v, 0 < d(l,v) <= max_hops} d(l,v) — the
+    truncated in-ball variant of classic closeness (Bavelas 1950;
+    normalization discussion in Boldi & Vigna 2014, "Axioms for
+    centrality" — reachable-set closeness). Like
+    :func:`harmonic_centrality` it is a pure readout aggregation over
+    the landmark BFS (no extra graph pass). Both count and distance sum
+    are exact int64; the ratio is ONE IEEE double division, so the
+    DuckDB oracle reproduces it bit-identically (no rounding needed —
+    contrast the order-sensitive 1/d float sum of harmonic)."""
+    return (
+        res.distances.filter(F.col("dist") > 0)
+        .groupBy("landmark")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.sum("dist").alias("sum_dist"),
+        )
+        .withColumn(
+            "closeness",
+            F.col("n_reached").cast("double") / F.col("sum_dist"),
+        )
+    )
+
+
 def pseudo_diameter(
     edges: DataFrame,
     max_hops: int = 6,

@@ -284,3 +284,78 @@ def test_matching_rejects_hash_magnitude_ids(spark):
     bad = edges_df(spark, [(1, 2**33)])
     with pytest.raises(ValueError, match="2\\^31"):
         maximal_matching(bad)
+
+
+# --- Closeness centrality ---------------------------------------------------
+
+
+def test_closeness_centrality_golden(spark):
+    from parallel_pagerank_spark.operators.bfs import (
+        closeness_centrality,
+        landmark_distances,
+    )
+
+    # path graph 0 -> 1 -> 2 -> 3 plus a branch 0 -> 4
+    edges = edges_df(spark, [(0, 1), (1, 2), (2, 3), (0, 4)])
+    lms = spark.createDataFrame([(0,), (2,)], "id long")
+    res = landmark_distances(edges, lms, max_hops=8)
+    got = {r.landmark: (r.n_reached, r.sum_dist, r.closeness)
+           for r in closeness_centrality(res).collect()}
+    # from 0: dists 1,2,3,1 -> n=4 sum=7 ; from 2: dist 1 -> n=1 sum=1
+    assert got[0] == (4, 7, 4.0 / 7.0)
+    assert got[2] == (1, 1, 1.0)
+
+
+# --- Community PageRank ------------------------------------------------------
+
+
+def test_community_pagerank_matches_numpy(spark):
+    """Quotient-graph weighted PR vs a dense numpy power iteration on the
+    contracted graph."""
+    import numpy as np
+
+    from parallel_pagerank_spark.config import PageRankConfig
+    from parallel_pagerank_spark.operators.labelprop import (
+        label_propagation,
+    )
+    from parallel_pagerank_spark.operators.pagerank import pagerank
+    from parallel_pagerank_spark.operators.scc import quotient_graph
+
+    # two triangles bridged by one edge + a dangling pendant community
+    el = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3), (6, 0)]
+    edges = edges_df(spark, el)
+    labels = label_propagation(edges, max_iter=5).labels
+    q = quotient_graph(edges, labels)
+    qe = q.select(
+        F.col("src_label").alias("src"),
+        F.col("dst_label").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    verts = labels.select(F.col("label").alias("id")).distinct()
+    res = pagerank(
+        qe, vertices=verts,
+        config=PageRankConfig(tol=0.0, max_iter=10), weight_col="weight",
+    )
+    got = {r.id: r.rank for r in res.ranks.collect()}
+
+    # numpy replay on the same quotient
+    lab = {r.id: r.label for r in labels.collect()}
+    qcount = {}
+    for s, d in el:
+        k = (lab[s], lab[d])
+        qcount[k] = qcount.get(k, 0) + 1
+    ids = sorted({c for k in qcount for c in k} | set(lab.values()))
+    idx = {c: i for i, c in enumerate(ids)}
+    n = len(ids)
+    p = np.full(n, 1.0 / n)
+    wsum = {}
+    for (s, d), w in qcount.items():
+        wsum[s] = wsum.get(s, 0.0) + w
+    for _ in range(10):
+        nxt = np.zeros(n)
+        for (s, d), w in qcount.items():
+            nxt[idx[d]] += p[idx[s]] * (w / wsum[s])
+        ds = sum(p[idx[c]] for c in ids if c not in wsum)
+        p = 0.85 * (nxt + ds / n) + 0.15 / n
+    for c in ids:
+        assert abs(got[c] - p[idx[c]]) < 1e-12
