@@ -1876,6 +1876,32 @@ def _q_hot_users(spark, sf_dir):
     return hot_keys(_events(spark, sf_dir), "user_id", k=25)
 
 
+def _q_expectations(spark, sf_dir):
+    """Single-scan data-quality expectations (functions/expectations.py
+    check_expectations — the Deequ/Great-Expectations release-gate
+    pattern, Schelter VLDB'18): four row-level rules + one uniqueness
+    rule over documents compile into ONE wide aggregate (sum(CASE) per
+    rule, count-distinct for uniqueness), unpivoted to long form.
+    NULL predicates fail closed. Counts exact int64; the rate is one
+    IEEE division — hash-exact."""
+    from parallel_pagerank_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return check_expectations(
+        docs,
+        {
+            "n_chars_positive": F.col("n_chars") > 0,
+            "n_chars_matches_text": F.col("n_chars")
+            == F.length("text"),
+            "lang_is_iso2": F.length("lang") == 2,
+            "text_nonempty": F.length("text") > 0,
+        },
+        unique=("doc_id",),
+    )
+
+
 def _q_weighted_sample_k(spark, sf_dir):
     """Weight-proportional exact-k sample (functions/splits.py
     weighted_sample_k — Duffield-Lund-Thorup priority sampling /
@@ -2298,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "maximal_matching": _q_maximal_matching,
         "closeness4": _q_closeness4,
+        "expectations": _q_expectations,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3596,6 +3623,26 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "maximal_matching": _matching_sql(30, 12),
         "sample_k": _sample_k_sql(50),
         "weighted_sample_k": _weighted_sample_k_sql(60),
+        "expectations": """
+WITH agg AS MATERIALIZED (
+  SELECT count(*) AS n,
+         sum(CASE WHEN coalesce(n_chars > 0, FALSE)
+                  THEN 0 ELSE 1 END) AS v0,
+         sum(CASE WHEN coalesce(n_chars = length(text), FALSE)
+                  THEN 0 ELSE 1 END) AS v1,
+         sum(CASE WHEN coalesce(length(lang) = 2, FALSE)
+                  THEN 0 ELSE 1 END) AS v2,
+         sum(CASE WHEN coalesce(length(text) > 0, FALSE)
+                  THEN 0 ELSE 1 END) AS v3,
+         count(*) - count(DISTINCT doc_id) AS v4
+  FROM documents)
+SELECT 'n_chars_positive' AS rule, n AS n_rows, v0 AS n_violations,
+       v0::DOUBLE / n AS violation_rate FROM agg
+UNION ALL SELECT 'n_chars_matches_text', n, v1, v1::DOUBLE / n FROM agg
+UNION ALL SELECT 'lang_is_iso2', n, v2, v2::DOUBLE / n FROM agg
+UNION ALL SELECT 'text_nonempty', n, v3, v3::DOUBLE / n FROM agg
+UNION ALL SELECT 'unique:doc_id', n, v4, v4::DOUBLE / n FROM agg
+""",
         "semantic_dedup": """
 WITH aug AS MATERIALIZED (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL

@@ -359,3 +359,70 @@ def test_community_pagerank_matches_numpy(spark):
         p = 0.85 * (nxt + ds / n) + 0.15 / n
     for c in ids:
         assert abs(got[c] - p[idx[c]]) < 1e-12
+
+
+# --- Expectations ------------------------------------------------------------
+
+
+def test_check_expectations_counts(spark):
+    from parallel_pagerank_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5, "en"), (2, -1, "en"), (3, None, "xx"),
+         (3, 7, None), (4, 0, "e")],
+        "id long, score long, lang string",
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_rate)
+        for r in check_expectations(
+            df,
+            {
+                "score_positive": F.col("score") > 0,
+                "lang_present": F.col("lang").isNotNull(),
+            },
+            unique=("id",),
+        ).collect()
+    }
+    # score > 0 violated by -1, NULL (fail-closed), 0
+    assert got["score_positive"] == (5, 3, 0.6)
+    assert got["lang_present"] == (5, 1, 0.2)
+    # id 3 appears twice -> one violation
+    assert got["unique:id"] == (5, 1, 0.2)
+
+
+def test_check_expectations_single_scan_plan(spark):
+    from parallel_pagerank_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("m")
+    )
+    plan = check_expectations(
+        df, {"m_small": F.col("m") < 2}, unique=("id",)
+    )._jdf.queryExecution().executedPlan().toString()
+    # one scan of the source: the Range appears exactly once
+    assert plan.count("Range (0, 100") == 1
+
+
+def test_filter_valid_fail_closed(spark):
+    from parallel_pagerank_spark.functions.expectations import (
+        filter_valid,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, -2)], "id long, score long"
+    )
+    kept = filter_valid(df, {"pos": F.col("score") > 0})
+    assert [r.id for r in kept.collect()] == [1]
+
+
+def test_check_expectations_empty_rules_raises(spark):
+    from parallel_pagerank_spark.functions.expectations import (
+        check_expectations,
+    )
+
+    with pytest.raises(ValueError):
+        check_expectations(spark.range(3), {})
