@@ -1417,6 +1417,22 @@ def _q_mis(spark, sf_dir):
     return res.members
 
 
+def _q_graph_coloring(spark, sf_dir):
+    """Deterministic Jones-Plassmann greedy coloring
+    (operators/coloring.py) on the undirected mod-30 subgraph: fixed
+    portable-hash priorities, per round the strict local minima color
+    themselves with the mex of their colored neighborhoods (<= Δ+1
+    colors). The oracle replays the identical rounds — packed (p, id)
+    arg-min for the frontier (event ids < 2^31), list-filter mex.
+    All-integer, hash-exact."""
+    from parallel_pagerank_spark.operators.coloring import greedy_coloring
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    ev = _events(spark, sf_dir).filter((F.col("user_id") % 30) == 0)
+    res = greedy_coloring(event_graph_edges(ev))
+    return res.colors
+
+
 def _q_maximal_matching(spark, sf_dir):
     """Deterministic local-max maximal matching (operators/matching.py —
     Preis 1999 / Birn ESA'13 with portable-hash priorities) on the
@@ -1689,6 +1705,34 @@ def _q_bpe_merges(spark, sf_dir):
     from parallel_pagerank_spark.functions.bpe import bpe_train
 
     return bpe_train(_documents(spark, sf_dir), n_merges=20)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """End-to-end tokenizer application (functions/bpe.py bpe_train →
+    bpe_segment): a 12-rule merge table trained on the first 200 docs
+    is applied back to them; per doc the token count and the first six
+    tokens (pipe-joined). Deterministic, but training + per-rule fold
+    application are iterative/data-dependent like bpe_merges — no
+    single-statement SQL oracle; rows-only, with full pure-Python
+    segmentation parity in tests/test_bpe.py."""
+    from parallel_pagerank_spark.functions.bpe import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = (
+        _documents(spark, sf_dir)
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    merges = bpe_train(docs, n_merges=12)
+    seg = bpe_segment(docs, merges)
+    return seg.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.concat_ws("|", F.slice("tokens", 1, 6)).alias("head"),
+    )
 
 
 def _inject_messy_urls(docs):
@@ -2325,6 +2369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_matching": _q_maximal_matching,
         "closeness4": _q_closeness4,
         "expectations": _q_expectations,
+        "bpe_encode": _q_bpe_encode,
+        "graph_coloring": _q_graph_coloring,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3621,6 +3667,7 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "test_containment": _containment_sql(4),
         "mis": _mis_sql(30, 12),
         "maximal_matching": _matching_sql(30, 12),
+        "graph_coloring": _coloring_sql(30, 24),
         "sample_k": _sample_k_sql(50),
         "weighted_sample_k": _weighted_sample_k_sql(60),
         "expectations": """
@@ -4212,6 +4259,74 @@ e{r} AS MATERIALIZED (
 m{r} AS MATERIALIZED (
   SELECT u, v FROM m{r - 1} UNION ALL SELECT u, v FROM w{r})""")
     parts.append(f"\nSELECT u, v FROM m{rounds}")
+    return "".join(parts)
+
+
+def _coloring_sql(user_mod: int, rounds: int) -> str:
+    """Unrolled deterministic Jones-Plassmann coloring mirroring
+    operators/coloring.greedy_coloring on the undirected simple graph
+    of the mod subgraph. Fixed portable-hash priorities packed as
+    p·2^31 + id (valid: event ids < 2^31); per round the strict local
+    minima among uncolored vertices take the mex of their colored
+    neighborhoods (list_filter over range(0, |S|+1)). Extra rounds past
+    the fixpoint are no-ops. All-integer, hash-exact."""
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    parts = [f"""
+WITH ev AS MATERIALIZED (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE user_id % {user_mod} = 0),
+reply AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+handoff AS (
+  SELECT src, dst FROM (
+    SELECT event_id AS src,
+           lead(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+    FROM ev) WHERE dst IS NOT NULL),
+sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+    WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst
+    FROM (SELECT * FROM reply UNION ALL SELECT * FROM handoff)
+    WHERE src <> dst)),
+u0 AS MATERIALIZED (
+  SELECT id, ({split_bucket_sql('id')}) * 2147483648 + id AS key
+  FROM (SELECT DISTINCT src AS id FROM sym)),
+c0 AS (SELECT id, 0::BIGINT AS color FROM u0 WHERE FALSE)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+nm{r} AS MATERIALIZED (
+  SELECT e.src AS id, min(ud.key) AS m
+  FROM sym e
+  JOIN u{r - 1} us ON us.id = e.src
+  JOIN u{r - 1} ud ON ud.id = e.dst
+  GROUP BY e.src),
+f{r} AS MATERIALIZED (
+  SELECT u.id FROM u{r - 1} u LEFT JOIN nm{r} n ON n.id = u.id
+  WHERE n.m IS NULL OR u.key < n.m),
+nc{r} AS MATERIALIZED (
+  SELECT e.src AS id, list(DISTINCT c.color) AS cs
+  FROM sym e
+  JOIN f{r} f ON f.id = e.src
+  JOIN c{r - 1} c ON c.id = e.dst
+  GROUP BY e.src),
+w{r} AS MATERIALIZED (
+  SELECT f.id,
+         coalesce(list_min(list_filter(range(0, len(nc.cs) + 1),
+                                       x -> NOT list_contains(nc.cs, x))),
+                  0)::BIGINT AS color
+  FROM f{r} f LEFT JOIN nc{r} nc ON nc.id = f.id),
+c{r} AS MATERIALIZED (
+  SELECT id, color FROM c{r - 1} UNION ALL SELECT id, color FROM w{r}),
+u{r} AS MATERIALIZED (
+  SELECT u.id, u.key FROM u{r - 1} u
+  LEFT JOIN w{r} w ON w.id = u.id WHERE w.id IS NULL)""")
+    parts.append(f"\nSELECT id, color FROM c{rounds}")
     return "".join(parts)
 
 

@@ -426,3 +426,73 @@ def test_check_expectations_empty_rules_raises(spark):
 
     with pytest.raises(ValueError):
         check_expectations(spark.range(3), {})
+
+
+# --- Greedy coloring ---------------------------------------------------------
+
+
+def _coloring_py(edge_list, salt=0):
+    adj = {}
+    for s, d in edge_list:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    pri = {v: (_bucket(v, salt), v) for v in adj}
+    uncolored = set(adj)
+    colors = {}
+    rounds = 0
+    while uncolored:
+        rounds += 1
+        frontier = {
+            v for v in uncolored
+            if all(pri[v] < pri[u]
+                   for u in adj[v] if u in uncolored)
+        }
+        for v in frontier:
+            used = {colors[u] for u in adj[v] if u in colors}
+            c = 0
+            while c in used:
+                c += 1
+            colors[v] = c
+        uncolored -= frontier
+    return colors, rounds
+
+
+def test_coloring_python_parity(spark, match_graph):
+    from parallel_pagerank_spark.operators.coloring import greedy_coloring
+
+    res = greedy_coloring(edges_df(spark, match_graph))
+    got = {r.id: r.color for r in res.colors.collect()}
+    expect, rounds = _coloring_py(match_graph)
+    assert got == expect
+    assert res.rounds == rounds
+    assert res.converged
+
+
+def test_coloring_is_proper_and_bounded(spark, match_graph):
+    from parallel_pagerank_spark.operators.coloring import greedy_coloring
+
+    res = greedy_coloring(edges_df(spark, match_graph))
+    col = {r.id: r.color for r in res.colors.collect()}
+    deg = {}
+    for s, d in match_graph:
+        if s != d:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+    for s, d in match_graph:
+        if s != d:
+            assert col[s] != col[d]
+    assert res.n_colors <= max(deg.values()) + 1
+
+
+def test_coloring_deterministic_across_partitioning(spark, match_graph):
+    from parallel_pagerank_spark.operators.coloring import greedy_coloring
+
+    a = greedy_coloring(edges_df(spark, match_graph))
+    b = greedy_coloring(
+        edges_df(spark, match_graph).repartition(11), num_partitions=3
+    )
+    assert {(r.id, r.color) for r in a.colors.collect()} == {
+        (r.id, r.color) for r in b.colors.collect()
+    }
