@@ -1920,6 +1920,52 @@ def _q_hot_users(spark, sf_dir):
     return hot_keys(_events(spark, sf_dir), "user_id", k=25)
 
 
+def _q_neighbor_sample(spark, sf_dir):
+    """Deterministic GraphSAGE-style fan-out cap (operators/graph.py
+    sample_neighbors_k): at most 3 out-edges per source, chosen by the
+    portable hash of the packed edge key — stable, salt-re-dealable,
+    prefix-consistent; output degree <= 3 everywhere (skew-proof by
+    construction). All-integer, hash-exact (the oracle replays the
+    identical (bucket, dst) row_number)."""
+    from parallel_pagerank_spark.operators.graph import (
+        sample_neighbors_k,
+    )
+    from parallel_pagerank_spark.sources.events import event_graph_edges
+
+    return sample_neighbors_k(
+        event_graph_edges(_events(spark, sf_dir)), 3
+    )
+
+
+def _q_tool_latency(spark, sf_dir):
+    """Per-tool response-latency percentiles (sources/events.py
+    tool_latency_stats): within-conversation gap to the previous event
+    attributed to the later event's tool, summarized as n / mean /
+    p50 / p90 / p99. Gaps exact integer µs; mean one IEEE division;
+    percentiles via Spark percentile ≡ DuckDB quantile_cont exact
+    interpolation (the doc_quantiles bit-identical precedent)."""
+    from parallel_pagerank_spark.sources.events import (
+        tool_latency_stats,
+    )
+
+    return tool_latency_stats(_events(spark, sf_dir))
+
+
+def _q_oov_rate(spark, sf_dir):
+    """Vocabulary-coverage readout (functions/text.py vocabulary_topn →
+    oov_stats): the top-64 corpus tokens as the vocabulary, per-doc
+    OOV token share against it. Counts exact int64, rate one IEEE
+    division, token-less docs report NULL rate; vocabulary broadcast —
+    no term-keyed shuffle in the scoring pass."""
+    from parallel_pagerank_spark.functions.text import (
+        oov_stats,
+        vocabulary_topn,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return oov_stats(docs, vocabulary_topn(docs, 64))
+
+
 def _q_expectations(spark, sf_dir):
     """Single-scan data-quality expectations (functions/expectations.py
     check_expectations — the Deequ/Great-Expectations release-gate
@@ -2371,6 +2417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": _q_expectations,
         "bpe_encode": _q_bpe_encode,
         "graph_coloring": _q_graph_coloring,
+        "tool_latency": _q_tool_latency,
+        "oov_rate": _q_oov_rate,
+        "neighbor_sample": _q_neighbor_sample,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3670,6 +3719,41 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "graph_coloring": _coloring_sql(30, 24),
         "sample_k": _sample_k_sql(50),
         "weighted_sample_k": _weighted_sample_k_sql(60),
+        "neighbor_sample": _neighbor_sample_sql(3),
+        "tool_latency": """
+WITH lat AS MATERIALIZED (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS lat_us
+  FROM events)
+SELECT event_type, count(*) AS n_lat,
+       sum(lat_us)::DOUBLE / count(*) AS mean_us,
+       quantile_cont(lat_us, 0.5) AS p50_us,
+       quantile_cont(lat_us, 0.9) AS p90_us,
+       quantile_cont(lat_us, 0.99) AS p99_us
+FROM lat WHERE lat_us IS NOT NULL GROUP BY event_type
+""",
+        "oov_rate": f"""
+WITH norm AS MATERIALIZED (
+  SELECT doc_id, {_NORM_TEXT_SQL} AS t FROM documents),
+toks AS MATERIALIZED (
+  SELECT doc_id AS id, unnest(string_split(t, ' ')) AS term FROM norm),
+toks2 AS MATERIALIZED (SELECT id, term FROM toks WHERE term <> ''),
+tstats AS MATERIALIZED (
+  SELECT term, count(*) AS total_tf FROM toks2 GROUP BY term),
+vocab AS MATERIALIZED (
+  SELECT term FROM tstats ORDER BY total_tf DESC, term ASC LIMIT 64),
+per AS MATERIALIZED (
+  SELECT t.id, count(*) AS n_tokens,
+         sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks2 t LEFT JOIN vocab v ON v.term = t.term GROUP BY t.id)
+SELECT d.doc_id AS id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_oov, 0) AS n_oov,
+       CASE WHEN coalesce(p.n_tokens, 0) > 0
+            THEN p.n_oov::DOUBLE / p.n_tokens END AS oov_rate
+FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+""",
         "expectations": """
 WITH agg AS MATERIALIZED (
   SELECT count(*) AS n,
@@ -4461,6 +4545,25 @@ def _sample_k_sql(k: int) -> str:
     return f"""
 SELECT doc_id, lang FROM documents
 ORDER BY ({split_bucket_sql('doc_id')}), doc_id LIMIT {k}
+"""
+
+
+def _neighbor_sample_sql(k: int) -> str:
+    """Per-src fan-out cap mirroring operators/graph.sample_neighbors_k:
+    dedup, portable bucket of the packed edge key, per-src (bucket, dst)
+    row_number <= k. All-integer (ids < 2^31), hash-exact."""
+    from parallel_pagerank_spark.functions.splits import split_bucket_sql
+
+    bucket = split_bucket_sql("src * 2147483648 + dst")
+    return f"""
+WITH {_EDGES_MAT_CTE},
+ded AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+keyed AS MATERIALIZED (SELECT src, dst, ({bucket}) AS b FROM ded)
+SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY b, dst) AS rn
+  FROM keyed)
+WHERE rn <= {k}
 """
 
 

@@ -8,10 +8,11 @@ Headline metric (BASELINE.json north rule): PageRank edges/sec/iteration to
 1e-6 L1 on the transcript-shaped event link graph. Cluster-size scaling is
 evidenced sandbox-style (no real cluster): the same fixed-superstep job runs
 at local[N] and local[4N] in child processes on the same 30M-edge synthetic
-input, INTERLEAVED A/B/A/B (two runs per level) so host drift hits both
-levels equally; efficiency = steady-state-throughput(4N) / (4 * throughput(N))
-using the MEDIAN steady superstep per level, with the per-level IQR and the
-resulting efficiency uncertainty band quoted, plus a shuffle-free compute
+input, INTERLEAVED in adjacent A/B pairs (default 3 pairs) so host drift hits
+both levels equally; efficiency = steady-state-throughput(4N) / (4 * thr(N))
+using the MEDIAN steady superstep per level, with the per-level IQR, the
+per-pair efficiencies (pair ratios cancel slow drift) and the resulting
+uncertainty band all quoted, plus a shuffle-free compute
 control probe (both parallelism levels share ONE memory bus on this host —
 see BENCH/BASELINE.md for the full analysis of what does and does not
 transfer to a real N vs 4N cluster).
@@ -345,13 +346,17 @@ def main() -> None:
             return
 
     small = max(2, CPUS // 4)
-    # INTERLEAVED levels (A/B/A/B): host drift (thermal, page cache,
+    # INTERLEAVED pairs (A/B A/B A/B): host drift (thermal, page cache,
     # co-tenant load) hits both parallelism levels equally instead of
     # biasing whichever ran second (r3 verdict: the committed efficiency
-    # rode a single quiet superstep — spread must be quoted, not hidden)
+    # rode a single quiet superstep — spread must be quoted, not hidden).
+    # Three adjacent pairs additionally give PAIRED efficiencies whose
+    # median is robust to slow drift across the ~10-minute window.
+    n_pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
     runs: list[tuple[int, dict]] = []
-    for level in (small, CPUS, small, CPUS):
-        runs.append((level, run_child(["--scaling-child", str(level)])))
+    for _ in range(n_pairs):
+        for level in (small, CPUS):
+            runs.append((level, run_child(["--scaling-child", str(level)])))
     head = run_child(["--headline-child"])
 
     def steady_times(level: int) -> list[float]:
@@ -378,6 +383,17 @@ def main() -> None:
     # the efficiency's honest uncertainty band from the per-level IQRs
     eff_lo = (q1_s / (4.0 * q3_b))
     eff_hi = (q3_s / (4.0 * q1_b))
+    # paired efficiencies: each adjacent (small, big) pair shares its
+    # ~3-minute host window, so the pair ratio cancels slow drift; the
+    # median-of-pairs is the headline-stability figure (r3 verdict #3)
+    pair_effs: list[float] = []
+    for i in range(0, len(runs) - 1, 2):
+        ms = statistics.median(runs[i][1]["iter_times"][SCALING_WARMUP:])
+        mb = statistics.median(
+            runs[i + 1][1]["iter_times"][SCALING_WARMUP:]
+        )
+        pair_effs.append(ms / (4.0 * mb))
+    eff_paired = statistics.median(pair_effs)
     t_ctl_small = min(r["t_control"] for lv, r in runs if lv == small)
     t_ctl_big = min(r["t_control"] for lv, r in runs if lv == CPUS)
     ctl_efficiency = t_ctl_small / (4.0 * t_ctl_big)
@@ -405,8 +421,8 @@ def main() -> None:
             "scale_edges": SCALE_EDGES,
             "iters": SCALING_ITERS,
             "warmup_dropped": SCALING_WARMUP,
-            "runs_per_level": 2,
-            "interleaving": "A/B/A/B",
+            "runs_per_level": n_pairs,
+            "interleaving": "A/B " * n_pairs,
             "t_iter_median_small": round(med_small, 3),
             "t_iter_median_big": round(med_big, 3),
             "t_iter_iqr_small": [round(q1_s, 3), round(q3_s, 3)],
@@ -417,13 +433,16 @@ def main() -> None:
             "throughput_big_edges_per_sec": round(thr_big, 1),
             "efficiency": round(efficiency, 4),
             "efficiency_iqr_band": [round(eff_lo, 4), round(eff_hi, 4)],
+            "pair_efficiencies": [round(e, 4) for e in pair_effs],
+            "efficiency_paired_median": round(eff_paired, 4),
             "cpu_control_efficiency": round(ctl_efficiency, 4),
             "note": (
                 "single-host stand-in for N vs 4N executors: both levels "
                 "share one memory bus, so shuffle-bound supersteps cap "
                 "below the cpu_control ceiling; see BENCH/BASELINE.md. "
-                "Median-of-steady-supersteps over two interleaved runs "
-                "per level; the IQR band is the honest uncertainty."
+                "Median-of-steady-supersteps over interleaved A/B pairs; "
+                "the IQR band and the per-pair efficiencies are the "
+                "honest uncertainty (pair ratios cancel slow host drift)."
             ),
         },
     }

@@ -719,3 +719,78 @@ def remove_passages(
             delimiter,
         ).alias("clean_text"),
     )
+
+
+def vocabulary_topn(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's top-``n`` whitespace tokens by total occurrence
+    count (ties to the lexicographically smallest term — total,
+    deterministic order): the fixed-size vocabulary a tokenizer or
+    hash-free classifier would be trained with. Plans as
+    TakeOrderedAndProject over :func:`term_stats`."""
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    return (
+        term_stats(docs, id_col=id_col, text_col=text_col)
+        .orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(n)
+        .select("term", "total_tf")
+    )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary profile against a ``(term)``
+    vocabulary table: ``(id, n_tokens, n_oov, oov_rate)`` — the
+    coverage readout run before committing to a tokenizer vocabulary
+    (high OOV rate → wasted UNK mass at training time).
+
+    Every input document appears exactly once; token-less documents
+    report ``(0, 0, NULL)`` (no rate is defined). Counts are exact
+    int64; the rate is one IEEE division — oracle bit-identical.
+
+    Scale shape: explode → broadcast left join on the term (the
+    vocabulary is model-sized) → one hash aggregation keyed on the doc
+    id, then a left join back to the doc spine so empty docs survive.
+    No shuffle keyed on the term — corpus-hot tokens cannot skew."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    v = vocab.select(F.col("term"), F.lit(1).alias("__in"))
+    per_doc = (
+        toks.join(F.broadcast(v), "term", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_oov").cast("double") / F.col("n_tokens"),
+            ),
+        )
+    )

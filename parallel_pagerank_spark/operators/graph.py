@@ -124,3 +124,45 @@ def sample_subgraph(
         (split_bucket(F.col("src"), salt=salt) < bound)
         & (split_bucket(F.col("dst"), salt=salt) < bound)
     )
+
+
+def sample_neighbors_k(
+    edges: DataFrame, k: int, salt: int = 0
+) -> DataFrame:
+    """Deterministic per-vertex neighbor sampling: for every source
+    vertex keep at most ``k`` out-edges, chosen by the portable hash of
+    the packed edge key — the GraphSAGE-style fan-out cap (Hamilton et
+    al., NIPS 2017) that turns hub-skewed adjacency into bounded
+    mini-batch neighborhoods for GNN feature pipelines.
+
+    The choice is a pure function of (src, dst, salt): stable across
+    runs, engines, and partitionings (same contract as
+    :func:`sample_subgraph`), prefix-consistent in ``k`` (the k+1
+    sample is the k sample plus one edge), re-dealt by ``salt``.
+    Requires ids < 2^31 for the packed key (the matching/MIS oracle
+    bound); duplicate (src, dst) rows are deduped first — multiplicity
+    is not a sampling weight.
+
+    Scale shape: one shuffle keyed on src + a per-src (bucket, dst)
+    row_number window — exactly the hub-cap pattern of
+    linkanalysis.adamic_adar; the output degree is <= k everywhere, so
+    EVERY downstream join or aggregation is skew-proof by
+    construction."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    from pyspark.sql import Window
+
+    from ..functions.splits import split_bucket
+
+    bucket = split_bucket(
+        F.col("src") * F.lit(2_147_483_648) + F.col("dst"), salt=salt
+    )
+    w = Window.partitionBy("src").orderBy("__b", "dst")
+    return (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn("__b", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__b", "__rn")
+    )

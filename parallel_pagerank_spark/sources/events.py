@@ -308,3 +308,42 @@ def props_stats(events: DataFrame) -> DataFrame:
         F.min("prop_k").alias("k_min"),
         F.max("prop_k").alias("k_max"),
     )
+
+
+def tool_latency_stats(events: DataFrame) -> DataFrame:
+    """Per-tool response-latency profile: within each conversation
+    (user_id) timeline ordered by (ts, event_id), the gap to the
+    previous event is attributed to the LATER event's tool
+    (event_type) — "how long did this tool take to come back" — then
+    summarized per tool as ``(event_type, n_lat, mean_us, p50_us,
+    p90_us, p99_us)``.
+
+    All gaps are exact integer microseconds (unix_micros lag
+    arithmetic); the mean is exact-int64 sum / count (one IEEE
+    division) and the percentiles use Spark ``percentile`` — exact
+    linear interpolation, bit-identical to DuckDB ``quantile_cont``
+    (the doc_quantiles precedent). First events of a conversation have
+    no predecessor and are excluded.
+
+    Scale shape: ONE window pass keyed on the conversation (the
+    sessionize shuffle), then one hash aggregation on event_type.
+    Exact percentiles sort per group; at 100 TB swap in
+    ``approx_percentile`` (documented tier) if per-tool gap counts
+    outgrow executor sort memory."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat = events.select(
+        "event_type",
+        (us - F.lag(us).over(w)).alias("lat_us"),
+    ).filter(F.col("lat_us").isNotNull())
+    return lat.groupBy("event_type").agg(
+        F.count("*").alias("n_lat"),
+        (
+            F.sum("lat_us").cast("double") / F.count("*")
+        ).alias("mean_us"),
+        F.percentile("lat_us", F.lit(0.5)).alias("p50_us"),
+        F.percentile("lat_us", F.lit(0.9)).alias("p90_us"),
+        F.percentile("lat_us", F.lit(0.99)).alias("p99_us"),
+    )

@@ -496,3 +496,111 @@ def test_coloring_deterministic_across_partitioning(spark, match_graph):
     assert {(r.id, r.color) for r in a.colors.collect()} == {
         (r.id, r.color) for r in b.colors.collect()
     }
+
+
+# --- Tool latency ------------------------------------------------------------
+
+import datetime as _dt
+
+
+def test_tool_latency_stats_golden(spark):
+    from parallel_pagerank_spark.sources.events import tool_latency_stats
+
+    def ts(s):
+        return _dt.datetime(2026, 1, 1, 0, 0, s)
+
+    # conv 1: a@0, b@10, b@25 ; conv 2: b@0, a@7  (first events excluded)
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), 1, "a"),
+            (2, ts(10), 1, "b"),
+            (3, ts(25), 1, "b"),
+            (4, ts(0), 2, "b"),
+            (5, ts(7), 2, "a"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r.event_type: r for r in tool_latency_stats(ev).collect()}
+    assert got["a"].n_lat == 1 and got["a"].mean_us == 7_000_000.0
+    assert got["a"].p50_us == 7_000_000.0
+    assert got["b"].n_lat == 2
+    assert got["b"].mean_us == 12_500_000.0  # (10s + 15s) / 2
+    assert got["b"].p50_us == 12_500_000.0   # interpolated midpoint
+    assert got["b"].p90_us == 14_500_000.0   # 10 + 0.9*(15-10) -> 14.5
+    assert got["b"].p99_us == 14_950_000.0
+
+
+# --- OOV stats ----------------------------------------------------------------
+
+
+def test_oov_stats_golden(spark):
+    from parallel_pagerank_spark.functions.text import (
+        oov_stats,
+        vocabulary_topn,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog"),
+            (3, "   "),          # token-less
+            (4, "zebra quark"),  # fully OOV
+        ],
+        "doc_id long, text string",
+    )
+    vocab = vocabulary_topn(docs, 3)
+    # totals: the=3, cat/sat/on/mat/dog/zebra/quark=1 -> top3 by
+    # (count desc, term asc) = the, cat, dog
+    assert {r.term for r in vocab.collect()} == {"the", "cat", "dog"}
+    got = {r.id: r for r in oov_stats(docs, vocab).collect()}
+    assert (got[1].n_tokens, got[1].n_oov) == (6, 3)  # sat on mat
+    assert got[1].oov_rate == 0.5
+    assert (got[2].n_tokens, got[2].n_oov) == (2, 0)
+    assert (got[3].n_tokens, got[3].n_oov) == (0, 0)
+    assert got[3].oov_rate is None
+    assert (got[4].n_tokens, got[4].n_oov, got[4].oov_rate) == (2, 2, 1.0)
+
+
+def test_oov_stats_no_term_shuffle(spark):
+    from parallel_pagerank_spark.functions.text import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    plan = oov_stats(docs, vocab)._jdf.queryExecution().executedPlan(
+    ).toString()
+    # the vocab join must be broadcast, never a term-keyed exchange
+    assert "BroadcastHashJoin" in plan
+
+
+# --- Neighbor sampling --------------------------------------------------------
+
+
+def test_sample_neighbors_k(spark):
+    from parallel_pagerank_spark.operators.graph import sample_neighbors_k
+
+    el = [(0, d) for d in range(1, 11)] + [(1, 2), (1, 2), (2, 3)]
+    got3 = sample_neighbors_k(edges_df(spark, el), 3)
+    rows3 = {(r.src, r.dst) for r in got3.collect()}
+    # python replay of the same (bucket, dst) choice
+    def pick(src, dsts, k, salt=0):
+        keyed = sorted(
+            (_bucket(src * 2_147_483_648 + d, salt), d) for d in set(dsts)
+        )
+        return {(src, d) for _, d in keyed[:k]}
+
+    expect3 = pick(0, range(1, 11), 3) | {(1, 2)} | {(2, 3)}
+    assert rows3 == expect3
+    # degree cap + prefix consistency
+    got4 = {(r.src, r.dst)
+            for r in sample_neighbors_k(edges_df(spark, el), 4).collect()}
+    assert rows3 < got4
+    from collections import Counter
+
+    assert max(Counter(s for s, _ in got4).values()) <= 4
+    # salt re-deal changes the hub's pick
+    salted = {(r.src, r.dst)
+              for r in sample_neighbors_k(edges_df(spark, el), 3,
+                                          salt=5).collect()}
+    assert salted != rows3
