@@ -1966,6 +1966,42 @@ def _q_oov_rate(spark, sf_dir):
     return oov_stats(docs, vocabulary_topn(docs, 64))
 
 
+def _q_tool_transitions(spark, sf_dir):
+    """First-order Markov tool-handoff matrix (sources/events.py
+    tool_transitions): consecutive (from_tool -> to_tool) pairs per
+    conversation timeline under the stable (ts, event_id) order, counted
+    and row-normalized. One window pass + one hash agg onto the
+    |tools|^2 matrix; n exact int64, prob one IEEE division of exact
+    integers (the hot_keys share precedent) — hash-exact."""
+    from parallel_pagerank_spark.sources.events import tool_transitions
+
+    return tool_transitions(_events(spark, sf_dir))
+
+
+def _q_zorder_layout(spark, sf_dir):
+    """Z-order layout keys (functions/layout.py zorder_key): Morton
+    bit-interleave of (user_id, epoch-us ts) buckets — the table-layout
+    pass that clusters event files so BOTH per-conversation and
+    time-window scans prune on file min/max stats (Delta/Iceberg
+    OPTIMIZE ZORDER BY; Morton 1966 / Orenstein & Merrett PODS'84).
+    Buckets use true int64 integer division (Spark `div` ≡ DuckDB `//`),
+    the interleave is shifts/ands only — all-integer, hash-exact."""
+    from parallel_pagerank_spark.functions.layout import zorder_key
+
+    base = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    return zorder_key(base, ["user_id", "ts_us"], bits=8).select(
+        "event_id", "zb_user_id", "zb_ts_us", "zkey"
+    )
+
+
 def _q_expectations(spark, sf_dir):
     """Single-scan data-quality expectations (functions/expectations.py
     check_expectations — the Deequ/Great-Expectations release-gate
@@ -2420,6 +2456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency": _q_tool_latency,
         "oov_rate": _q_oov_rate,
         "neighbor_sample": _q_neighbor_sample,
+        "tool_transitions": _q_tool_transitions,
+        "zorder_layout": _q_zorder_layout,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3720,6 +3758,20 @@ UNION ALL SELECT 'n_chars' AS "column", count(*) AS n_rows, count(*) - count(n_c
         "sample_k": _sample_k_sql(50),
         "weighted_sample_k": _weighted_sample_k_sql(60),
         "neighbor_sample": _neighbor_sample_sql(3),
+        "tool_transitions": """
+WITH pairs AS MATERIALIZED (
+  SELECT event_type AS from_tool,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_tool
+  FROM events WHERE user_id IS NOT NULL),
+counts AS MATERIALIZED (
+  SELECT from_tool, to_tool, count(*) AS n FROM pairs
+  WHERE to_tool IS NOT NULL GROUP BY from_tool, to_tool)
+SELECT from_tool, to_tool, n,
+       n::DOUBLE / sum(n) OVER (PARTITION BY from_tool) AS prob
+FROM counts
+""",
+        "zorder_layout": _zorder_layout_sql(8),
         "tool_latency": """
 WITH lat AS MATERIALIZED (
   SELECT event_type,
@@ -4545,6 +4597,34 @@ def _sample_k_sql(k: int) -> str:
     return f"""
 SELECT doc_id, lang FROM documents
 ORDER BY ({split_bucket_sql('doc_id')}), doc_id LIMIT {k}
+"""
+
+
+def _zorder_layout_sql(bits: int) -> str:
+    """DuckDB mirror of _q_zorder_layout: identical true-integer-division
+    bucketing (`//` ≡ Spark `div`) and shift/and interleave, via the
+    layout module's own SQL emitters so both sides share one source of
+    truth for the arithmetic."""
+    from parallel_pagerank_spark.functions.layout import (
+        zorder_bucket_sql,
+        zorder_key_sql,
+    )
+
+    nb = 1 << bits
+    bu = zorder_bucket_sql("user_id", "lou", "hiu", nb)
+    bt = zorder_bucket_sql("ts_us", "lot", "hit", nb)
+    key = zorder_key_sql(["zb_user_id", "zb_ts_us"], bits)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id IS NOT NULL),
+bounds AS MATERIALIZED (
+  SELECT min(user_id) AS lou, max(user_id) AS hiu,
+         min(ts_us) AS lot, max(ts_us) AS hit FROM base),
+b AS MATERIALIZED (
+  SELECT event_id, {bu} AS zb_user_id, {bt} AS zb_ts_us
+  FROM base, bounds)
+SELECT event_id, zb_user_id, zb_ts_us, {key} AS zkey FROM b
 """
 
 

@@ -347,3 +347,47 @@ def tool_latency_stats(events: DataFrame) -> DataFrame:
         F.percentile("lat_us", F.lit(0.9)).alias("p90_us"),
         F.percentile("lat_us", F.lit(0.99)).alias("p99_us"),
     )
+
+
+def tool_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over tools: for every pair of
+    consecutive events on a conversation (user_id) timeline under the
+    stable (ts, event_id) order, count the (from_tool -> to_tool) handoff
+    and normalize per source tool — ``(from_tool, to_tool, n, prob)``
+    with ``sum(prob) = 1`` for every from_tool. The agent-behavior
+    readout ("after search, what runs next?") that the reference's
+    dashboard renders as a handoff table (reference
+    dashboard/app.py:1420+ descriptive stats family).
+
+    NULL-conversation events are dropped (same contract as
+    cooccurrence_edges); a conversation's last event has no successor
+    and contributes no pair.
+
+    Scale shape: ONE window pass keyed on the conversation (the same
+    sessionize shuffle every timeline derivation here uses), then one
+    two-phase hash aggregation onto the (tools x tools) matrix — at most
+    |tools|^2 rows, so the per-source normalizing window runs over a
+    vocabulary-sized table, never the corpus. ``n`` is exact int64;
+    ``prob`` is one IEEE division of exact integers (engine-portable
+    bit-for-bit, the hot_keys share precedent)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("from_tool"),
+            F.lead("event_type").over(w).alias("to_tool"),
+        )
+        .filter(F.col("to_tool").isNotNull())
+    )
+    counts = pairs.groupBy("from_tool", "to_tool").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_src = Window.partitionBy("from_tool")
+    return counts.select(
+        "from_tool",
+        "to_tool",
+        "n",
+        (F.col("n") / F.sum("n").over(per_src)).alias("prob"),
+    )
