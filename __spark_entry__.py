@@ -2002,6 +2002,27 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+def _q_conv_entropy(spark, sf_dir):
+    """Per-conversation tool-diversity entropy (sources/events.py
+    conversation_entropy) — the transcript analog of doc_entropy:
+    Shannon entropy of each conversation's event_type distribution.
+    Integer counts hash-exact; the two float columns rounded to 6
+    (single ln-sum per conversation, the doc_entropy tolerance
+    discipline)."""
+    from parallel_pagerank_spark.sources.events import (
+        conversation_entropy,
+    )
+
+    out = conversation_entropy(_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_tools",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("entropy_ratio", 6).alias("entropy_ratio"),
+    )
+
+
 def _q_expectations(spark, sf_dir):
     """Single-scan data-quality expectations (functions/expectations.py
     check_expectations — the Deequ/Great-Expectations release-gate
@@ -2458,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": _q_neighbor_sample,
         "tool_transitions": _q_tool_transitions,
         "zorder_layout": _q_zorder_layout,
+        "conv_entropy": _q_conv_entropy,
         # --- rotated-out veterans (driver-green rounds 1-3; still verified
         # --- every round by tools/check_oracles.py + pytest) -------------
         "edges_reply": _q_edges_reply,
@@ -3772,6 +3794,21 @@ SELECT from_tool, to_tool, n,
 FROM counts
 """,
         "zorder_layout": _zorder_layout_sql(8),
+        "conv_entropy": """
+WITH cnt AS MATERIALIZED (
+  SELECT user_id, event_type, count(*) AS c FROM events
+  WHERE user_id IS NOT NULL GROUP BY user_id, event_type),
+agg AS (
+  SELECT user_id, sum(c) AS t, count(*) AS nd,
+         sum(c::DOUBLE * ln(c::DOUBLE)) AS sc
+  FROM cnt GROUP BY user_id)
+SELECT user_id, t AS n_events, nd AS n_tools,
+       round(ln(t::DOUBLE) - sc / t::DOUBLE, 6) AS entropy,
+       round(CASE WHEN nd > 1
+                  THEN (ln(t::DOUBLE) - sc / t::DOUBLE) / ln(nd::DOUBLE)
+                  ELSE 0.0 END, 6) AS entropy_ratio
+FROM agg
+""",
         "tool_latency": """
 WITH lat AS MATERIALIZED (
   SELECT event_type,

@@ -391,3 +391,41 @@ def tool_transitions(events: DataFrame) -> DataFrame:
         "n",
         (F.col("n") / F.sum("n").over(per_src)).alias("prob"),
     )
+
+
+def conversation_entropy(events: DataFrame) -> DataFrame:
+    """Per-conversation tool-diversity entropy — the transcript analog
+    of functions/text.token_entropy: Shannon entropy of each
+    conversation's event_type distribution in the same rearranged form
+
+        H = ln(T) - (Σ_tool c·ln c) / T      (nats; T = event count)
+
+    returning ``(user_id, n_events, n_tools, entropy, entropy_ratio)``
+    with entropy_ratio = H / ln(n_tools) ∈ [0, 1] (1 = uniform tool
+    usage; 0 for single-tool conversations by convention). Low-entropy
+    conversations are single-tool loops (retry storms, scripted
+    traffic); high-entropy ones exercise the full tool surface — the
+    per-conversation quality signal a transcript-curation pass filters
+    on. NULL-conversation events are dropped (the timeline-derivation
+    contract).
+
+    Scale shape: two hash aggregations, both keyed by the conversation
+    (+tool) — a corpus-hot tool can never skew a shuffle partition,
+    exactly the doc-keyed rule token_entropy documents."""
+    counts = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t = F.sum("c")
+    sum_clnc = F.sum(F.col("c").cast("double") * F.log(F.col("c")))
+    h = F.log(t.cast("double")) - sum_clnc / t.cast("double")
+    nd = F.count(F.lit(1))
+    return counts.groupBy("user_id").agg(
+        t.alias("n_events"),
+        nd.alias("n_tools"),
+        h.alias("entropy"),
+        F.when(nd > 1, h / F.log(nd.cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_ratio"),
+    )

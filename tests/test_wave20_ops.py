@@ -170,3 +170,39 @@ def test_zorder_validation(spark):
         zorder_key(df, ["v"], bits=0)
     with pytest.raises(ValueError):
         zorder_key(df, ["v"] * 8, bits=8)
+
+
+def test_conversation_entropy_hand_math(spark, tiny_events):
+    import math
+
+    from parallel_pagerank_spark.sources.events import (
+        conversation_entropy,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.n_tools, r.entropy, r.entropy_ratio)
+        for r in conversation_entropy(tiny_events).collect()
+    }
+    assert set(got) == {1, 2, 3}  # NULL conv dropped
+    # conv 1: a:2, b:1, c:1 over T=4
+    h1 = math.log(4) - (2 * math.log(2)) / 4
+    assert got[1][0] == 4 and got[1][1] == 3
+    assert got[1][2] == pytest.approx(h1, abs=1e-12)
+    assert got[1][3] == pytest.approx(h1 / math.log(3), abs=1e-12)
+    # conv 2: b:2 — single tool => H = 0, ratio 0 by convention
+    assert got[2] == (2, 1, 0.0, 0.0)
+    # conv 3: single event, single tool
+    assert got[3] == (1, 1, 0.0, 0.0)
+
+
+def test_conversation_entropy_uniform_ratio_is_one(spark):
+    from parallel_pagerank_spark.sources.events import (
+        conversation_entropy,
+    )
+
+    rows = [(i, _ts(i), 7, f"t{i % 4}") for i in range(8)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = conversation_entropy(ev).collect()[0]
+    assert r.entropy_ratio == pytest.approx(1.0, abs=1e-12)
