@@ -303,6 +303,33 @@ def child_headline() -> None:
     extras["adamic_adar"], _ = _timed(
         lambda: _checksum(adamic_adar(edges))
     )
+    # wave-20 ops, same separate-extras rule
+    from parallel_pagerank_spark.functions.layout import zorder_key
+    from parallel_pagerank_spark.sources.events import (
+        conversation_entropy,
+        tool_transitions,
+    )
+
+    extras["tool_transitions"], _ = _timed(
+        lambda: _checksum(tool_transitions(events))
+    )
+    extras["conv_entropy"], _ = _timed(
+        lambda: _checksum(conversation_entropy(events))
+    )
+    extras["zorder_layout"], _ = _timed(
+        lambda: _checksum(
+            zorder_key(
+                events.filter(F.col("user_id").isNotNull()).select(
+                    "event_id",
+                    "user_id",
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                        "ts_us"
+                    ),
+                ),
+                ["user_id", "ts_us"],
+            )
+        )
+    )
     print(
         json.dumps(
             {

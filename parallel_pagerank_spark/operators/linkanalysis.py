@@ -109,8 +109,12 @@ def adamic_adar(
     - weight="resource_allocation":  Σ 1 / deg(k)
     - weight="common":               Σ 1            (plain CN count)
 
-    A common neighbor has deg(k) ≥ 2 by construction, so ln(deg(k)) ≥
-    ln 2 > 0 — no division hazard. ``exclude_existing=True`` keeps only
+    A common neighbor has deg(k) ≥ 2 by construction, and degree-1
+    vertices are filtered BEFORE the weight projection — the weight
+    expression is evaluated per (k, x) row ahead of the pair join, so
+    without that filter a degree-1 leaf would hit 1/ln(1) and ANSI
+    mode would abort the whole job (caught by the sf0.001 bench, where
+    the event graph has leaves). ``exclude_existing=True`` keeps only
     pairs NOT already connected (the link-prediction setting proper);
     False scores adjacent pairs too (the similarity-matrix setting).
 
@@ -135,7 +139,10 @@ def adamic_adar(
     )
     deg = nbr.groupBy("k").agg(F.count("*").alias("k_deg"))
     kept = nbr.join(
-        deg.where(F.col("k_deg") <= degree_cap), "k"
+        deg.where(
+            (F.col("k_deg") <= degree_cap) & (F.col("k_deg") >= 2)
+        ),
+        "k",
     )
     if weight == "adamic_adar":
         w = F.lit(1.0) / F.log(F.col("k_deg").cast("double"))

@@ -252,3 +252,19 @@ def test_adamic_adar_validates_weight(spark):
 
     with pytest.raises(ValueError):
         adamic_adar(edges_df(spark, AA_EDGES), weight="katz")
+
+
+def test_adamic_adar_leaf_vertices_no_ansi_abort(spark):
+    # path graph 1-2-3: endpoints have degree 1; before the deg >= 2
+    # pre-filter, the 1/ln(deg) weight projection evaluated 1/ln(1) for
+    # the leaf rows and ANSI mode aborted the job (sf0.001 bench find).
+    from parallel_pagerank_spark.operators.linkanalysis import adamic_adar
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = adamic_adar(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    import math
+
+    assert (r.u, r.v, r.n_common) == (1, 3, 1)
+    assert r.score == pytest.approx(1.0 / math.log(2.0), abs=1e-12)
