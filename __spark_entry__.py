@@ -1007,8 +1007,12 @@ def _q_near_dup_clusters(spark, sf_dir):
 def _q_doc_repetition(spark, sf_dir):
     """Word/bigram repetition signals (functions/text.py
     repetition_signals — the Gopher-style repetition quality family).
-    Fractions are integer ratios computed in one divide; rounded to 9
-    anyway for engine-portability."""
+    Fractions are single IEEE divisions of exact int64 counts —
+    correctly rounded, hence bit-identical in every IEEE-754 engine —
+    so they are emitted RAW. (Rounding them was the r4 driver-hash
+    hazard: a bit-identical quotient can straddle a decimal rounding
+    boundary that two engines' round() resolve differently; the raw
+    quotient cannot. Same discipline as salsa/hot_users/closeness4.)"""
     from parallel_pagerank_spark.functions.text import repetition_signals
 
     r = repetition_signals(_documents(spark, sf_dir))
@@ -1016,9 +1020,9 @@ def _q_doc_repetition(spark, sf_dir):
         "doc_id",
         "n_words",
         "n_distinct_words",
-        F.round("dup_word_frac", 9).alias("dup_word_frac"),
-        F.round("top_word_frac", 9).alias("top_word_frac"),
-        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+        "dup_word_frac",
+        "top_word_frac",
+        "top_bigram_frac",
     )
 
 
@@ -1287,9 +1291,16 @@ def _q_decontaminate(spark, sf_dir):
 
 def _q_doc_entropy(spark, sf_dir):
     """Per-doc unigram Shannon entropy (functions/text.py
-    token_entropy). Integer token counts are hash-exact; the two float
-    columns are rounded to 6 (single ln-sum per doc — same tolerance
-    discipline as doc_tfidf)."""
+    token_entropy). Integer token counts are hash-exact. The two float
+    columns are rounded to 6, and since r5 the underlying ln-sum is an
+    ORDER-DETERMINISTIC fold over the sorted count multiset (both in
+    the engine and in the oracle), so the rounded value is a fixed
+    property of the data rather than of Spark's partition combine
+    order — the r4 driver-hash flake. Residual cross-engine noise is
+    the 1-ulp libm ln() spread (JVM Math.log vs DuckDB's libm differ
+    on ~1% of integer inputs), absorbed by round(6);
+    tests/test_text_quality.py pins a wide margin between every value
+    and its nearest rounding boundary at both gate SFs."""
     from parallel_pagerank_spark.functions.text import token_entropy
 
     out = token_entropy(_documents(spark, sf_dir))
@@ -2007,8 +2018,9 @@ def _q_conv_entropy(spark, sf_dir):
     conversation_entropy) — the transcript analog of doc_entropy:
     Shannon entropy of each conversation's event_type distribution.
     Integer counts hash-exact; the two float columns rounded to 6
-    (single ln-sum per conversation, the doc_entropy tolerance
-    discipline)."""
+    over an ORDER-DETERMINISTIC sorted-count fold in both engines —
+    the doc_entropy r5 discipline (the rounded value is a property of
+    the data, not of partition combine order)."""
     from parallel_pagerank_spark.sources.events import (
         conversation_entropy,
     )
@@ -3302,13 +3314,13 @@ bc AS MATERIALIZED (
 bs AS MATERIALIZED (
   SELECT doc_id, max(c) AS top_bigram_c FROM bc GROUP BY doc_id)
 SELECT ws.doc_id, ws.n_words, ws.n_distinct_words,
-  round(1.0 - ws.n_distinct_words / ws.n_words::DOUBLE, 9)
+  1.0 - ws.n_distinct_words::DOUBLE / ws.n_words::DOUBLE
     AS dup_word_frac,
-  round(ws.top_word_c / ws.n_words::DOUBLE, 9) AS top_word_frac,
-  round(CASE WHEN ws.n_words >= 2
-        THEN coalesce(bs.top_bigram_c, 0)::DOUBLE
-             / (ws.n_words - 1)::DOUBLE
-        ELSE 0.0 END, 9) AS top_bigram_frac
+  ws.top_word_c::DOUBLE / ws.n_words::DOUBLE AS top_word_frac,
+  CASE WHEN ws.n_words >= 2
+       THEN coalesce(bs.top_bigram_c, 0)::DOUBLE
+            / (ws.n_words - 1)::DOUBLE
+       ELSE 0.0 END AS top_bigram_frac
 FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id
 """
 
@@ -3800,7 +3812,9 @@ WITH cnt AS MATERIALIZED (
   WHERE user_id IS NOT NULL GROUP BY user_id, event_type),
 agg AS (
   SELECT user_id, sum(c) AS t, count(*) AS nd,
-         sum(c::DOUBLE * ln(c::DOUBLE)) AS sc
+         list_reduce(
+           list_prepend(0.0::DOUBLE, list_sort(list(c::DOUBLE))),
+           (acc, x) -> acc + x * ln(x)) AS sc
   FROM cnt GROUP BY user_id)
 SELECT user_id, t AS n_events, nd AS n_tools,
        round(ln(t::DOUBLE) - sc / t::DOUBLE, 6) AS entropy,
@@ -4272,7 +4286,12 @@ LEFT JOIN hit USING (doc_id)
 
 def _doc_entropy_sql() -> str:
     # H = ln(T) - (Σ c·ln c)/T per doc; CASE guards mirror
-    # functions/text.token_entropy's when() branches exactly
+    # functions/text.token_entropy's when() branches exactly.
+    # The Σ is a left fold over the ASCENDING-SORTED count multiset
+    # seeded with 0.0 — the identical op sequence token_entropy's
+    # sort_array + aggregate fold performs, so both engines sum in
+    # the same order (ties are equal summands; order-free hash aggs
+    # were the r4 flake).
     return f"""
 WITH toks AS MATERIALIZED (
   SELECT doc_id, w FROM (
@@ -4283,7 +4302,9 @@ cnt AS MATERIALIZED (
   SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
 agg AS (
   SELECT doc_id, sum(c) AS t, count(*) AS nd,
-         sum(c::DOUBLE * ln(c::DOUBLE)) AS sc
+         list_reduce(
+           list_prepend(0.0::DOUBLE, list_sort(list(c::DOUBLE))),
+           (acc, x) -> acc + x * ln(x)) AS sc
   FROM cnt GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(a.t, 0) AS n_tokens,

@@ -313,8 +313,20 @@ def child_headline() -> None:
     extras["tool_transitions"], _ = _timed(
         lambda: _checksum(tool_transitions(events))
     )
+    # round the two float columns to 6 (as _q_conv_entropy does) so the
+    # full-row checksum is decimal-stable; the underlying ln-sum is
+    # already an order-deterministic sorted fold (r5), this makes the
+    # consumed rows additionally robust to any future engine 1-ulp shift
     extras["conv_entropy"], _ = _timed(
-        lambda: _checksum(conversation_entropy(events))
+        lambda: _checksum(
+            conversation_entropy(events).select(
+                "user_id",
+                "n_events",
+                "n_tools",
+                F.round("entropy", 6).alias("entropy"),
+                F.round("entropy_ratio", 6).alias("entropy_ratio"),
+            )
+        )
     )
     extras["zorder_layout"], _ = _timed(
         lambda: _checksum(

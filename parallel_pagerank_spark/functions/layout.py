@@ -21,10 +21,14 @@ bit-for-bit:
   lesson: float bucketing can misplace extreme values);
 - interleaving is shifts/ands/ors only.
 
-Precondition (checked in the docstring contract, asserted by the span
-guard): ``(hi - lo) * 2^bits`` must fit in int64, i.e. the column span
-is below ``2^(63 - bits)`` — comfortably true for epoch-microsecond
-timestamps (about 2^45) and dense id spaces at the default 8 bits.
+Precondition, ENFORCED at runtime by a span guard folded into each
+bucket expression: ``(hi - lo) * 2^bits`` must fit in int64, i.e. the
+column span is below ``2^(63 - bits)`` — comfortably true for
+epoch-microsecond timestamps (about 2^45) and dense id spaces at the
+default 8 bits. A wider span (or an all-NULL column, which has no
+bounds at all) raises instead of silently wrapping the int64 multiply
+in non-ANSI mode — ANSI Spark and DuckDB would abort on the overflow,
+so without the guard the two engines would diverge.
 """
 
 from __future__ import annotations
@@ -59,11 +63,14 @@ def zorder_key(
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"cols must be distinct, got {cols}")
     if bits < 1 or bits * len(cols) > 62:
         raise ValueError(
             f"bits * len(cols) must be in [1, 62], got {bits}*{len(cols)}"
         )
     n_buckets = 1 << bits
+    span_limit = 1 << (63 - bits)
     bounds = df.agg(
         *[F.min(F.col(c).cast("long")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("long")).alias(f"__hi_{c}") for c in cols],
@@ -75,10 +82,24 @@ def zorder_key(
         # Spark SQL `div` is true int64 integer division — exact for the
         # full range (an IEEE `/` + floor detour would round numerators
         # above 2^53 before dividing). DuckDB mirrors it with `//`.
+        # The ifnull(assert_true(...), 0L) term is the span guard: it
+        # adds exactly 0 when the precondition holds, raises (instead
+        # of wrapping the multiply) when the span is >= 2^(63-bits) or
+        # the column is all-NULL. It references only the broadcast
+        # 1-row bounds. It is the LEFT operand of the + deliberately:
+        # binary-op codegen short-circuits on a null left operand, so
+        # guard-on-the-right would be skipped for NULL cell values.
+        guard = (
+            f"ifnull(assert_true(coalesce(`__hi_{c}` - `__lo_{c}` < "
+            f"{span_limit}L, false), 'zorder_key: span of column {c} is >= "
+            f"2^(63 - bits) (or the column is all NULL); the bucket "
+            f"multiply would overflow int64 — lower bits or pre-scale "
+            f"the column'), 0L)"
+        )
         bucket_exprs.append(
             F.expr(
-                f"((cast(`{c}` as bigint) - `__lo_{c}`) * {n_buckets}L) "
-                f"div (`__hi_{c}` - `__lo_{c}` + 1L)"
+                f"{guard} + (((cast(`{c}` as bigint) - `__lo_{c}`) "
+                f"* {n_buckets}L) div (`__hi_{c}` - `__lo_{c}` + 1L))"
             ).alias(f"zb_{c}")
         )
     out = out.select(*df.columns, *bucket_exprs)

@@ -511,6 +511,15 @@ def token_entropy(
     never skew a shuffle partition — the same doc-keyed rule as
     repetition_signals. Docs with no tokens yield n_tokens = 0 and
     entropy 0.
+
+    Determinism: the Σ c·ln(c) term is folded LEFT-TO-RIGHT over the
+    ascending-sorted count multiset (sort_array + aggregate), not a
+    partition-order hash aggregation — float addition is not
+    associative, and an order-free sum makes the low bits of the
+    entropy vary run-to-run with partitioning. Sorting just the counts
+    suffices: equal counts contribute equal summands, so tie order is
+    irrelevant. An ANSI oracle reproduces the identical op sequence
+    with list_reduce(list_prepend(0.0, list_sort(list(c)))).
     """
     toks = F.filter(
         F.split(normalized_text(F.col(text_col)), " "),
@@ -523,7 +532,15 @@ def token_entropy(
         .agg(F.count("w").alias("c"))
     )
     t = F.sum("c")
-    sum_clnc = F.sum(F.col("c").cast("double") * F.log(F.col("c")))
+    # deterministic fold: ((0.0 + c1·ln c1) + c2·ln c2) + … in
+    # ascending count order; c = 0 (the explode_outer null row of an
+    # empty doc) contributes 0 rather than the 0·ln(0) = NaN trap
+    sum_clnc = F.aggregate(
+        F.sort_array(F.collect_list(F.col("c").cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0)),
+    )
     h = F.when(
         t > 0, F.log(t.cast("double")) - sum_clnc / t.cast("double")
     ).otherwise(F.lit(0.0))

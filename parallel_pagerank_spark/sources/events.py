@@ -411,14 +411,25 @@ def conversation_entropy(events: DataFrame) -> DataFrame:
 
     Scale shape: two hash aggregations, both keyed by the conversation
     (+tool) — a corpus-hot tool can never skew a shuffle partition,
-    exactly the doc-keyed rule token_entropy documents."""
+    exactly the doc-keyed rule token_entropy documents.
+
+    Determinism: like token_entropy, the Σ c·ln(c) term is a
+    left-to-right fold over the ascending-sorted count multiset, so
+    the entropy is a fixed property of the data (bit-identical under
+    any repartitioning) rather than of the partition combine order —
+    equal counts contribute equal summands, so tie order is
+    irrelevant."""
     counts = (
         events.filter(F.col("user_id").isNotNull())
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     t = F.sum("c")
-    sum_clnc = F.sum(F.col("c").cast("double") * F.log(F.col("c")))
+    sum_clnc = F.aggregate(
+        F.sort_array(F.collect_list(F.col("c").cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x * F.log(x),
+    )
     h = F.log(t.cast("double")) - sum_clnc / t.cast("double")
     nd = F.count(F.lit(1))
     return counts.groupBy("user_id").agg(

@@ -172,6 +172,37 @@ def test_zorder_validation(spark):
         zorder_key(df, ["v"] * 8, bits=8)
 
 
+def test_zorder_rejects_duplicate_cols(spark):
+    # r5 ADVICE: ["v", "v"] used to emit two identical zb_v aliases
+    # (ambiguous column / degenerate key); now a ValueError up front
+    df = spark.createDataFrame([(1, 2)], "v long, w long")
+    with pytest.raises(ValueError, match="distinct"):
+        zorder_key(df, ["v", "v"], bits=4)
+
+
+def test_zorder_span_guard_raises_on_overflow(spark):
+    # r5 ADVICE: span >= 2^(63-bits) would silently wrap the int64
+    # bucket multiply in non-ANSI mode (ANSI Spark / DuckDB abort —
+    # engine divergence). The guard must raise at runtime instead.
+    wide = spark.createDataFrame(
+        [(0, 0), (1, 1 << 60)], "id long, v long"
+    )
+    out = zorder_key(wide, ["v"], bits=8)  # lazy: no error yet
+    with pytest.raises(Exception, match="zorder_key: span"):
+        out.collect()
+    # same data at bits low enough to fit must pass clean
+    ok = zorder_key(wide, ["v"], bits=2).collect()
+    assert {r.zb_v for r in ok} == {0, 3}
+
+
+def test_zorder_span_guard_raises_on_all_null_column(spark):
+    nulls = spark.createDataFrame(
+        [(0, None), (1, None)], "id long, v long"
+    )
+    with pytest.raises(Exception, match="zorder_key: span"):
+        zorder_key(nulls, ["v"], bits=4).collect()
+
+
 def test_conversation_entropy_hand_math(spark, tiny_events):
     import math
 

@@ -273,6 +273,38 @@ def test_token_entropy_vs_python(spark):
     assert got[0]["entropy"] == 0.0
 
 
+def test_token_entropy_deterministic_and_boundary_margin(spark):
+    """r5 driver-hash fix: the Σ c·ln(c) term folds left-to-right over
+    the ASCENDING-SORTED count multiset, so the entropy is a fixed
+    property of the data — bit-identical under any repartitioning —
+    instead of varying with Spark's partition combine order (the r4
+    flake: an order-free float sum rounded to 6 decimals straddled a
+    boundary on the driver's run and not on the local one). Residual
+    cross-engine noise is the ~1-ulp libm ln() spread, bounded by
+    n_distinct·ulp ≈ 1e-13; every round(·, 6)-consumed value on the
+    gate data must sit > 1e-11 from its nearest 0.5e-6 rounding
+    boundary (measured margin ≈ 2.5e-10 at sf0.001, 1.3e-10 at sf0.1)
+    so no conforming libm can flip the rounded digit."""
+    from parallel_pagerank_spark.functions.text import token_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1 = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    out2 = {
+        r["doc_id"]: r
+        for r in token_entropy(docs.repartition(17, "doc_id")).collect()
+    }
+    assert set(out1) == set(out2) and len(out1) == 500
+    for k, a in out1.items():
+        b = out2[k]
+        # bit-identical, not just close: fold order is data-defined
+        assert a["entropy"] == b["entropy"], k
+        assert a["entropy_ratio"] == b["entropy_ratio"], k
+    for r in out1.values():
+        for v in (r["entropy"], r["entropy_ratio"]):
+            frac = (abs(v) * 1e6) % 1.0
+            assert abs(frac - 0.5) > 1e-5, r
+
+
 # ---------------------------------------------------- topological levels
 def _topo_py(edges):
     """Longest-path levels by relaxation until fixpoint (DAG assumed)."""
