@@ -2403,63 +2403,21 @@ def _q_safe_split(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate records the FIRST ~50
-    # dict entries only (r1: 25, r2: 32, r3: 50).  Rounds 1-3 covered the
-    # original waves 1-2 surface with green hash rows; round 4 rotates the
-    # 40 wave-3..13 queries (walks8 .. safe_split, never reached by the
-    # driver window) to the FRONT so they finally get driver-side hash rows.
-    # The rotated-out veterans keep full coverage via tools/check_oracles.py
-    # (run each round, log committed under BENCH/) and the pytest suite.
+    # dict entries only (r1: 25, r2: 32, r3/r4: 50). Rounds 1-3 covered the
+    # original waves 1-2 surface; round 4 rotated waves 3-15 (walks8 ..
+    # span_scrub) into the window. Round 5 rotation: the two r4 hash-fix
+    # queries lead (so the fix is driver-verified), then the 33 queries
+    # that have NEVER had a driver-side row (waves 16-20, jaccard_linkpred
+    # .. conv_entropy, plus the rows-only media_features), then 15 §2-core
+    # veterans (driver-green r1-3) for fresh hash history. After this
+    # rotation every query in the registry has at least one round of
+    # driver-side history. Rotated-out queries keep full hash coverage via
+    # tools/check_oracles.py (committed log under BENCH/) + pytest.
     return {
-        "walks8": _q_walks8,
-        "walk_transitions": _q_walk_transitions,
-        "nbhd_sketch4": _q_nbhd_sketch4,
-        "nbhd_growth8": _q_nbhd_growth8,
-        "katz20": _q_katz20,
-        "landmark_dist4": _q_landmark_dist4,
-        "harmonic4": _q_harmonic4,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "near_dup_clusters": _q_near_dup_clusters,
+        # --- the two r4 driver-hash fixes (must be in-window) ----------
         "doc_repetition": _q_doc_repetition,
-        "top_docs_per_lang": _q_top_docs_per_lang,
-        "modularity_lpa5": _q_modularity_lpa5,
-        "powerlaw_alpha": _q_powerlaw_alpha,
-        "doc_profile": _q_doc_profile,
-        "k_truss3": _q_k_truss3,
-        "pr_convergence10": _q_pr_convergence10,
-        "emb_quantize": _q_emb_quantize,
-        "dataset_split": _q_dataset_split,
-        "bigram_lift": _q_bigram_lift,
-        "scc": _q_scc,
-        "scc_dag": _q_scc_dag,
-        "doc_quantiles": _q_doc_quantiles,
-        "pseudo_diameter": _q_pseudo_diameter,
-        "stratified_sample": _q_stratified_sample,
-        "decontaminate": _q_decontaminate,
         "doc_entropy": _q_doc_entropy,
-        "topo_levels": _q_topo_levels,
-        "subgraph_sample": _q_subgraph_sample,
-        "quality_filter": _q_quality_filter,
-        "windowed_counts": _q_windowed_counts,
-        "test_containment": _q_test_containment,
-        "mis": _q_mis,
-        "quotient_lpa5": _q_quotient_lpa5,
-        "community_pagerank": _q_community_pagerank,
-        "sample_k": _q_sample_k,
-        "sample_k_per_lang": _q_sample_k_per_lang,
-        "funnel": _q_funnel,
-        "boilerplate": _q_boilerplate,
-        "cluster_assign": _q_cluster_assign,
-        "drift_nchars": _q_drift_nchars,
-        "safe_split": _q_safe_split,
-        "pii_scrub": _q_pii_scrub,
-        "adamic_adar": _q_adamic_adar,
-        "url_domains": _q_url_domains,
-        "lm_score": _q_lm_score,
-        "pagerank_decayed10": _q_pagerank_decayed10,
-        "salsa": _q_salsa,
-        "boilerplate_scrub": _q_boilerplate_scrub,
-        "dup_spans": _q_dup_spans,
-        "span_scrub": _q_span_scrub,
+        # --- waves 16-20: first-ever driver window appearance ----------
         "jaccard_linkpred": _q_jaccard_linkpred,
         "seq_pack": _q_seq_pack,
         "seq_pack_text": _q_seq_pack_text,
@@ -2492,8 +2450,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": _q_tool_transitions,
         "zorder_layout": _q_zorder_layout,
         "conv_entropy": _q_conv_entropy,
-        # --- rotated-out veterans (driver-green rounds 1-3; still verified
-        # --- every round by tools/check_oracles.py + pytest) -------------
+        # rows-only by design (binary codecs are not SQL-expressible)
+        "media_features": _q_media_features,
+        # --- §2-core veterans rotated back in (driver-green r1-3) ------
+        "pagerank_fixed20": _q_pagerank_fixed20,
+        "adjacency": _q_adjacency,
+        "pagerank_weighted20": _q_pagerank_weighted20,
+        "connected_components": _q_connected_components,
+        "label_propagation": _q_label_propagation,
+        "triangle_count": _q_triangle_count,
         "edges_reply": _q_edges_reply,
         "edges_handoff": _q_edges_handoff,
         "out_degree": _q_out_degree,
@@ -2501,23 +2466,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_stats": _q_degree_stats,
         "top_out_degree": _q_top_out_degree,
         "dangling_count": _q_dangling_count,
-        "adjacency": _q_adjacency,
-        "degree_histogram": _q_degree_histogram,
-        "triangle_count": _q_triangle_count,
         "doc_exact_dedup": _q_doc_exact_dedup,
+        "knn_bruteforce": _q_knn_bruteforce,
+        # --- below the ~50-row driver window: verified each round by ---
+        # --- tools/check_oracles.py full-surface sweep + pytest --------
+        "walks8": _q_walks8,
+        "walk_transitions": _q_walk_transitions,
+        "nbhd_sketch4": _q_nbhd_sketch4,
+        "nbhd_growth8": _q_nbhd_growth8,
+        "katz20": _q_katz20,
+        "landmark_dist4": _q_landmark_dist4,
+        "harmonic4": _q_harmonic4,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "modularity_lpa5": _q_modularity_lpa5,
+        "powerlaw_alpha": _q_powerlaw_alpha,
+        "doc_profile": _q_doc_profile,
+        "k_truss3": _q_k_truss3,
+        "pr_convergence10": _q_pr_convergence10,
+        "emb_quantize": _q_emb_quantize,
+        "dataset_split": _q_dataset_split,
+        "bigram_lift": _q_bigram_lift,
+        "scc": _q_scc,
+        "scc_dag": _q_scc_dag,
+        "doc_quantiles": _q_doc_quantiles,
+        "pseudo_diameter": _q_pseudo_diameter,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "topo_levels": _q_topo_levels,
+        "subgraph_sample": _q_subgraph_sample,
+        "quality_filter": _q_quality_filter,
+        "windowed_counts": _q_windowed_counts,
+        "test_containment": _q_test_containment,
+        "mis": _q_mis,
+        "quotient_lpa5": _q_quotient_lpa5,
+        "community_pagerank": _q_community_pagerank,
+        "sample_k": _q_sample_k,
+        "sample_k_per_lang": _q_sample_k_per_lang,
+        "funnel": _q_funnel,
+        "boilerplate": _q_boilerplate,
+        "cluster_assign": _q_cluster_assign,
+        "drift_nchars": _q_drift_nchars,
+        "safe_split": _q_safe_split,
+        "pii_scrub": _q_pii_scrub,
+        "adamic_adar": _q_adamic_adar,
+        "url_domains": _q_url_domains,
+        "lm_score": _q_lm_score,
+        "pagerank_decayed10": _q_pagerank_decayed10,
+        "salsa": _q_salsa,
+        "boilerplate_scrub": _q_boilerplate_scrub,
+        "dup_spans": _q_dup_spans,
+        "span_scrub": _q_span_scrub,
+        "pagerank_top20": _q_pagerank_top20,
+        "degree_histogram": _q_degree_histogram,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
-        "knn_bruteforce": _q_knn_bruteforce,
         "sessionize": _q_sessionize,
         "session_stats": _q_session_stats,
         "neighbor_degree": _q_neighbor_degree,
         "doc_shingles": _q_doc_shingles,
-        "pagerank_top20": _q_pagerank_top20,
-        "pagerank_fixed20": _q_pagerank_fixed20,
-        "pagerank_weighted20": _q_pagerank_weighted20,
-        "connected_components": _q_connected_components,
-        "label_propagation": _q_label_propagation,
         "clustering_coefficient": _q_clustering_coefficient,
         "isolated_count": _q_isolated_count,
         "scale_free_heuristic": _q_scale_free,
@@ -2544,8 +2553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "cocitation": _q_cocitation,
         "coupling": _q_coupling,
-        # rows-only by design (binary codecs are not SQL-expressible)
-        "media_features": _q_media_features,
     }
 
 

@@ -1,17 +1,22 @@
-"""Zero-dependency baseline JPEG (JFIF) codec: numpy + stdlib only.
+"""Zero-dependency JPEG (JFIF) codec: numpy + stdlib only.
 
-Decoder: baseline sequential DCT (SOF0/SOF1) — DQT/DHT/DRI/SOS parsing,
-canonical Huffman entropy decode with byte unstuffing and restart
-markers, dequantization, de-zigzag, orthonormal 8x8 IDCT, chroma
-upsampling for any (h, v) sampling factors (4:4:4, 4:2:0, 4:2:2, ...),
-JFIF full-range YCbCr -> RGB. Progressive (SOF2) and arithmetic-coded
-streams are out of scope and raise NotImplementedError with a message.
+Decoder: baseline sequential DCT (SOF0/SOF1) AND progressive DCT (SOF2,
+spectral selection + successive approximation per T.81 Annex G,
+including cross-block EOB runs and refinement correction bits) —
+DQT/DHT/DRI/SOS parsing, canonical Huffman entropy decode with byte
+unstuffing and restart markers, dequantization, de-zigzag, orthonormal
+8x8 IDCT, chroma upsampling for any (h, v) sampling factors (4:4:4,
+4:2:0, 4:2:2, ...), JFIF full-range YCbCr -> RGB. Lossless,
+hierarchical, and arithmetic-coded SOFs raise NotImplementedError.
 
-Encoder: baseline 4:4:4 with the Annex K quantization tables (quality-
-scaled by the standard libjpeg formula, public) and the Annex K
-"typical" Huffman tables — enough to synthesize fixtures and round-trip
-(decode(encode(img)) ~= img within quantization error), and its output
-is a fully standard stream any JPEG decoder accepts.
+Encoders: baseline (encode_jpeg) and progressive (encode_jpeg_
+progressive), both at 4:4:4 / 4:2:2 / 4:2:0, with the Annex K
+quantization tables (quality-scaled by the standard libjpeg formula,
+public) — enough to synthesize fixtures and round-trip, and their
+output is a fully standard stream any JPEG decoder accepts. The
+progressive default scan script transmits every coefficient bit, so
+progressive decode is tested for EXACT pixel equality against baseline
+decode of the same image (coefficient-identical by construction).
 
 Everything here follows the public ITU-T T.81 / ISO 10918-1 spec text
 (segment layout, Huffman canonical code construction per Annex C,
@@ -225,13 +230,18 @@ class _BitReader:
         self.nbits -= 1
         return (self.bitbuf >> self.nbits) & 1
 
+    def receive(self, n: int) -> int:
+        """RECEIVE (T.81 F.2.2.4): n raw bits, MSB first, unsigned."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
     def receive_extend(self, s: int) -> int:
         """RECEIVE + EXTEND (T.81 F.2.2.1): s-bit magnitude to signed."""
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.read_bit()
+        v = self.receive(s)
         if v < (1 << (s - 1)):
             v -= (1 << s) - 1
         return v
@@ -253,16 +263,21 @@ class _BitReader:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+    """JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
 
-    Supports SOF0/SOF1, any sampling factors, DRI restart intervals.
-    Progressive (SOF2) raises NotImplementedError."""
+    Supports baseline sequential DCT (SOF0/SOF1) and progressive DCT
+    (SOF2, spectral selection + successive approximation per T.81
+    Annex G), any sampling factors, DRI restart intervals. Lossless /
+    arithmetic-coded / hierarchical SOFs raise NotImplementedError."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps = list of dicts
+    progressive = False
+    n_scans = 0
+    coefs: dict[int, np.ndarray] = {}  # cid -> (gy, gx, 64) zz-order
     i = 2
     n = len(content)
     while i < n - 1:
@@ -302,7 +317,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + cnt])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
             h = struct.unpack_from(">H", seg, 1)[0]
             w = struct.unpack_from(">H", seg, 3)[0]
             nc = seg[5]
@@ -319,12 +334,25 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     }
                 )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+            if progressive:
+                # zigzag-order coefficient accumulators, MCU-padded so
+                # interleaved DC scans have room for the edge blocks
+                h_max = max(c["h"] for c in comps)
+                v_max = max(c["v"] for c in comps)
+                mcus_x = -(-w // (8 * h_max))
+                mcus_y = -(-h // (8 * v_max))
+                for c in comps:
+                    coefs[c["id"]] = np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64),
+                        dtype=np.int32,
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}); only "
-                "baseline sequential DCT (SOF0/SOF1) is supported "
-                "zero-dependency"
+                f"unsupported JPEG (SOF marker 0x{marker:02x}); only "
+                "baseline sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman DCT are supported zero-dependency"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -338,16 +366,37 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cs = seg[1 + 2 * s]
                 tables = seg[2 + 2 * s]
                 scan.append((by_id[cs], tables >> 4, tables & 15))
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    content,
+                    i + 2 + seg_len,
+                    frame,
+                    scan,
+                    qt,
+                    huff,
+                    restart_interval,
+                )
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            n_scans += 1
+            i = _decode_prog_scan(
                 content,
                 i + 2 + seg_len,
                 frame,
                 scan,
-                qt,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 15,
                 huff,
                 restart_interval,
+                coefs,
             )
+            continue
         i += 2 + seg_len
+    if progressive and n_scans:
+        return _finish_progressive(frame, qt, coefs)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -412,9 +461,18 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                             my * c["v"] + by, mx * c["h"] + bx
                         ] = (nat * q).reshape(8, 8)
             mcu_index += 1
-    # IDCT + assemble per-component sample planes, upsample, crop, color
+    return _assemble_image(
+        planes, [c for c, _, _ in scan], h, w, h_max, v_max
+    )
+
+
+def _assemble_image(planes, comps, h, w, h_max, v_max):
+    """Per-component dequantized natural-order blocks (dict cid ->
+    (gy, gx, 8, 8)) -> (h, w, 3) uint8 RGB: IDCT, plane assembly,
+    chroma upsampling, crop, JFIF YCbCr -> RGB (shared by the baseline
+    and progressive paths)."""
     out_comps = []
-    for c, _, _ in scan:
+    for c in comps:
         grid = planes[c["id"]]
         gy, gx = grid.shape[:2]
         spatial = idct_blocks(grid.reshape(-1, 8, 8)) + 128.0
@@ -441,6 +499,204 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------- progressive decode
+#
+# T.81 Annex G, Huffman-coded progressive DCT. Coefficients accumulate
+# across scans in zigzag order per component; each scan transmits either
+# a spectral band's first approximation (Ah = 0, values scaled down by
+# 2^Al) or one refinement bit per coefficient (Ah = Al + 1). DC scans
+# (Ss = Se = 0) may interleave components; AC scans are single-component
+# by spec. EOB runs (G.1.2.2) span entirely-zero bands across blocks.
+
+
+def _refine_nonzero(reader, block, k_from, k_to, p1):
+    """G.1.2.3 correction bits: one bit per already-nonzero coefficient
+    in [k_from, k_to]; a 1-bit adds p1 toward larger magnitude unless
+    that bit is already set."""
+    for k in range(k_from, k_to + 1):
+        v = int(block[k])
+        if v != 0 and reader.read_bit() and not (abs(v) & p1):
+            block[k] = v + (p1 if v > 0 else -p1)
+
+
+def _prog_ac_first(reader, ac_tbl, block, ss, se, al, eobrun):
+    """One block of an Ah=0 AC scan; returns the new EOB run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_tbl.decode(reader)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        block[k] = reader.receive_extend(s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(reader, ac_tbl, block, ss, se, al, eobrun):
+    """One block of an Ah=Al+1 AC refinement scan; returns the new EOB
+    run count. Already-nonzero coefficients consume a correction bit
+    whenever the scan passes over them — including inside EOB runs."""
+    p1 = 1 << al
+    if eobrun > 0:
+        _refine_nonzero(reader, block, ss, se, p1)
+        return eobrun - 1
+    k = ss
+    hit_eob = False
+    while k <= se:
+        rs = ac_tbl.decode(reader)
+        r, s = rs >> 4, rs & 15
+        newval = 0
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                hit_eob = True
+                break
+            # ZRL: pass over 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError(
+                    "invalid magnitude category in AC refinement scan"
+                )
+            newval = p1 if reader.read_bit() else -p1
+        # advance over r zero-history coefficients (15 decrements + the
+        # landing slot = 16 for ZRL), refining nonzero-history ones
+        while k <= se:
+            v = int(block[k])
+            if v != 0:
+                if reader.read_bit() and not (abs(v) & p1):
+                    block[k] = v + (p1 if v > 0 else -p1)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            block[k] = newval
+        k += 1
+    if hit_eob:
+        _refine_nonzero(reader, block, k, se, p1)
+    return eobrun
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, restart_interval, coefs
+):
+    """Decode one progressive scan's entropy data into the zigzag-order
+    coefficient accumulators; returns the byte offset just past the
+    scan (the caller resumes marker parsing there)."""
+    h, w, comps = frame
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+    else:
+        if len(scan) != 1 or not (1 <= ss <= se <= 63):
+            raise ValueError("invalid progressive AC scan header")
+    if ah not in (0, al + 1):
+        raise ValueError("invalid successive-approximation Ah/Al")
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+
+    def at_restart(unit_index):
+        nonlocal eobrun
+        if (
+            restart_interval
+            and unit_index
+            and unit_index % restart_interval == 0
+        ):
+            m = reader.sync_to_marker()
+            if not 0xD0 <= m <= 0xD7:
+                raise ValueError(f"expected RST marker, got 0x{m:02x}")
+            for kk in pred:
+                pred[kk] = 0
+            eobrun = 0
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan: MCU order, h x v blocks per component
+        mcus_x = -(-w // (8 * h_max))
+        mcus_y = -(-h // (8 * v_max))
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                at_restart(unit)
+                for c, td, _ in scan:
+                    grid = coefs[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = grid[my * c["v"] + by, mx * c["h"] + bx]
+                            if ah == 0:
+                                s = huff[(0, td)].decode(reader)
+                                pred[c["id"]] += reader.receive_extend(s)
+                                blk[0] = pred[c["id"]] << al
+                            elif reader.read_bit():
+                                blk[0] = int(blk[0]) | (1 << al)
+                unit += 1
+    else:
+        # non-interleaved scan (single component): the block grid is the
+        # component's own ceil dims (NOT the MCU-padded grid); one block
+        # is one restart unit
+        c, td, ta = scan[0]
+        grid = coefs[c["id"]]
+        comp_w = -(-(w * c["h"]) // h_max)
+        comp_h = -(-(h * c["v"]) // v_max)
+        bx_n = -(-comp_w // 8)
+        by_n = -(-comp_h // 8)
+        unit = 0
+        for by in range(by_n):
+            for bx in range(bx_n):
+                at_restart(unit)
+                blk = grid[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        s = huff[(0, td)].decode(reader)
+                        pred[c["id"]] += reader.receive_extend(s)
+                        blk[0] = pred[c["id"]] << al
+                    elif reader.read_bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _prog_ac_first(
+                        reader, huff[(1, ta)], blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _prog_ac_refine(
+                        reader, huff[(1, ta)], blk, ss, se, al, eobrun
+                    )
+                unit += 1
+    return reader.pos
+
+
+def _finish_progressive(frame, qt, coefs):
+    """All scans consumed: de-zigzag, dequantize, IDCT, assemble."""
+    h, w, comps = frame
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    planes = {}
+    for c in comps:
+        zz = coefs[c["id"]].astype(np.int64)
+        gy, gx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz
+        planes[c["id"]] = (nat * qt[c["tq"]]).astype(np.float64).reshape(
+            gy, gx, 8, 8
+        )
+    return _assemble_image(planes, comps, h, w, h_max, v_max)
 
 
 # --------------------------------------------------------------- encode
@@ -489,9 +745,17 @@ def _quality_scale(tbl: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """(h, w, 3) uint8 RGB (or (h, w) grayscale) -> baseline JFIF bytes,
-    4:4:4, Annex K tables at the given quality."""
+def _prep_quantized(img: np.ndarray, quality: int, sampling: tuple):
+    """Shared encoder front end: color transform, chroma downsampling,
+    MCU-grid padding, DCT, quantization, zigzag.
+
+    ``sampling`` is the luma (h, v) factor — (1, 1) = 4:4:4,
+    (2, 1) = 4:2:2, (2, 2) = 4:2:0; chroma is always (1, 1). Returns
+    (zzb, qtabs, ncomp, h, w, factors, mcus_y, mcus_x, nonint_dims):
+    zzb[ci] is the (mcus_y*v_c, mcus_x*h_c, 64) zigzag-order quantized
+    coefficient grid (MCU-padded — what interleaved coding walks);
+    nonint_dims[ci] = (by_n, bx_n) is the component's own ceil(dim/8)
+    block count (what non-interleaved progressive AC scans walk)."""
     gray = img.ndim == 2
     if gray:
         img = img[:, :, None]
@@ -509,9 +773,61 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         planes = [img[:, :, 0].astype(np.float64)]
     else:
         raise ValueError(f"unsupported channel count {nc}")
+    hs, vs = sampling
+    if (hs, vs) not in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        raise ValueError(f"unsupported sampling {sampling}")
+    if nc == 1:
+        hs = vs = 1  # a single component has nothing to subsample
+    factors = [(hs, vs)] + [(1, 1)] * (len(planes) - 1)
+    mcus_x = -(-w // (8 * hs))
+    mcus_y = -(-h // (8 * vs))
     qluma = _quality_scale(_K1_LUMA, quality)
     qchroma = _quality_scale(_K2_CHROMA, quality)
     qtabs = [qluma] + ([qchroma] if nc == 3 else [])
+    zzb = []
+    nonint_dims = []
+    for ci, plane in enumerate(planes):
+        h_c, v_c = factors[ci]
+        if (h_c, v_c) != (hs, vs):
+            # downsample chroma by mean pooling over (vs, hs) windows
+            ph = -(-h // vs) * vs
+            pw = -(-w // hs) * hs
+            p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        ch, cw = plane.shape
+        gy, gx = mcus_y * v_c, mcus_x * h_c
+        padded = np.pad(
+            plane, ((0, gy * 8 - ch), (0, gx * 8 - cw)), mode="edge"
+        )
+        blk = (
+            padded.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3) - 128.0
+        ).reshape(-1, 8, 8)
+        coef = dct_blocks(blk)
+        q = qtabs[0 if ci == 0 else 1].reshape(8, 8).astype(np.float64)
+        quant = np.round(coef / q).astype(np.int64).reshape(gy, gx, 64)
+        zzb.append(quant[:, :, ZIGZAG])
+        nonint_dims.append((-(-ch // 8), -(-cw // 8)))
+    return zzb, qtabs, len(planes), h, w, factors, mcus_y, mcus_x, nonint_dims
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, sampling: tuple = (1, 1)
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) -> baseline JFIF bytes,
+    Annex K tables at the given quality. ``sampling`` is the luma (h, v)
+    factor: (1, 1) = 4:4:4 (default), (2, 1) = 4:2:2, (2, 2) = 4:2:0
+    (chroma mean-pooled before the DCT)."""
+    (
+        zzb,
+        qtabs,
+        ncomp,
+        h,
+        w,
+        factors,
+        mcus_y,
+        mcus_x,
+        _,
+    ) = _prep_quantized(img, quality, sampling)
     dc_codes = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
     ac_codes = [_encode_codes(*_AC_LUMA), _encode_codes(*_AC_CHROMA)]
 
@@ -523,12 +839,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     for ti, q in enumerate(qtabs):
         out += b"\xff\xdb" + struct.pack(">HB", 67, ti)
         out += bytes(int(v) for v in q[ZIGZAG])
-    ncomp = 3 if nc == 3 else 1
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        h_c, v_c = factors[ci]
+        out += bytes([ci + 1, (h_c << 4) | v_c, 0 if ci == 0 else 1])
     for tc, tabs in ((0, (_DC_LUMA, _DC_CHROMA)), (1, (_AC_LUMA, _AC_CHROMA))):
-        for th in range(2 if nc == 3 else 1):
+        for th in range(2 if ncomp == 3 else 1):
             bits, vals = tabs[th]
             out += b"\xff\xc4" + struct.pack(
                 ">HB", 19 + len(vals), (tc << 4) | th
@@ -540,69 +856,353 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         out += bytes([ci + 1, (t << 4) | t])
     out += b"\x00\x3f\x00"
 
-    # entropy-coded data: 4:4:4, so each MCU is one block per component
+    # entropy-coded data: MCU-interleaved, v_c x h_c blocks per
+    # component per MCU (one each at 4:4:4)
     bw = _BitWriter()
-    bx = -(-w // 8)
-    by = -(-h // 8)
-    blocks = []
-    for plane, qi in zip(planes, [0] + [1] * (ncomp - 1)):
-        padded = np.pad(
-            plane, ((0, by * 8 - h), (0, bx * 8 - w)), mode="edge"
-        )
-        blk = (
-            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
-        ).reshape(-1, 8, 8)
-        coef = dct_blocks(blk)
-        q = qtabs[qi].reshape(8, 8).astype(np.float64)
-        quant = np.round(coef / q).astype(np.int64)
-        blocks.append(quant.reshape(by, bx, 64)[..., 0:64])
-
-    def category(v: int) -> int:
-        return int(v).bit_length() if v > 0 else int(-v).bit_length()
-
     pred = [0] * ncomp
-    for m_y in range(by):
-        for m_x in range(bx):
+    for m_y in range(mcus_y):
+        for m_x in range(mcus_x):
             for ci in range(ncomp):
                 t = 0 if ci == 0 else 1
-                nat = blocks[ci][m_y, m_x]
-                zz = nat.reshape(64)[ZIGZAG]
-                dc = int(zz[0])
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                s = category(diff)
-                code, ln = dc_codes[t][s]
-                bw.write(code, ln)
-                if s:
-                    v = diff if diff > 0 else diff + (1 << s) - 1
-                    bw.write(v, s)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(
-                    zz[1:]
-                ) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if k > last_nz:
-                        code, ln = ac_codes[t][0x00]  # EOB
+                h_c, v_c = factors[ci]
+                for byy in range(v_c):
+                    for bxx in range(h_c):
+                        zz = zzb[ci][m_y * v_c + byy, m_x * h_c + bxx]
+                        dc = int(zz[0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        s = _category(diff)
+                        code, ln = dc_codes[t][s]
                         bw.write(code, ln)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[t][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    s = category(v)
-                    code, ln = ac_codes[t][(run << 4) | s]
-                    bw.write(code, ln)
-                    m = v if v > 0 else v + (1 << s) - 1
-                    bw.write(m, s)
-                    run = 0
+                        if s:
+                            v = diff if diff > 0 else diff + (1 << s) - 1
+                            bw.write(v, s)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if k > last_nz:
+                                code, ln = ac_codes[t][0x00]  # EOB
+                                bw.write(code, ln)
+                                break
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_codes[t][0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            s = _category(v)
+                            code, ln = ac_codes[t][(run << 4) | s]
+                            bw.write(code, ln)
+                            m = v if v > 0 else v + (1 << s) - 1
+                            bw.write(m, s)
+                            run = 0
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------- progressive encode
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# Fixed flat AC Huffman table for progressive scans: every symbol 8 bits.
+# Progressive AC coding needs the EOBn band-run symbols (r << 4 for
+# r = 1..14) that the Annex K "typical" tables do NOT contain (their code
+# space has a single free 16-bit slot), so the encoder writes this table
+# into DHT instead. 176 symbols x 2^-8 = Kraft 0.6875 — a valid
+# (incomplete) canonical code; compression is mediocre but EOB-run
+# compression across blocks more than pays for it on sparse bands, and
+# it exercises the decoder's real-world EOBRUN paths.
+_AC_PROG_SYMS = sorted(
+    {0x00, 0xF0}
+    | {r << 4 for r in range(1, 15)}
+    | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+_AC_PROG = ([0] * 7 + [len(_AC_PROG_SYMS)] + [0] * 8, _AC_PROG_SYMS)
+
+
+def _flush_eobrun(bw, codes, st):
+    """Emit the pending EOBn symbol (n = st['run'] band-ending blocks),
+    its extension bits, then the buffered correction bits of the run's
+    member blocks (refinement scans only)."""
+    n = st["run"]
+    if n == 0:
+        return
+    r = n.bit_length() - 1
+    code, ln = codes[r << 4]
+    bw.write(code, ln)
+    if r:
+        bw.write(n - (1 << r), r)
+    for b in st["pending"]:
+        bw.write(b, 1)
+    st["run"] = 0
+    st["pending"] = []
+
+
+_DEFAULT_PROG_SCANS_3 = [
+    # (kind, comp indices, Ss, Se, Ah, Al) — a typical spectral-selection
+    # + successive-approximation script (the libjpeg default's shape):
+    ("dc", [0, 1, 2], 0, 0, 0, 1),
+    ("ac", [0], 1, 5, 0, 2),
+    ("ac", [1], 1, 63, 0, 1),
+    ("ac", [2], 1, 63, 0, 1),
+    ("ac", [0], 6, 63, 0, 2),
+    ("ac", [0], 1, 63, 2, 1),
+    ("dc", [0, 1, 2], 0, 0, 1, 0),
+    ("ac", [1], 1, 63, 1, 0),
+    ("ac", [2], 1, 63, 1, 0),
+    ("ac", [0], 1, 63, 1, 0),
+]
+_DEFAULT_PROG_SCANS_1 = [
+    ("dc", [0], 0, 0, 0, 1),
+    ("ac", [0], 1, 63, 0, 1),
+    ("dc", [0], 0, 0, 1, 0),
+    ("ac", [0], 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    scans=None,
+    sampling: tuple = (1, 1),
+) -> bytes:
+    """(h, w, 3) uint8 RGB (or (h, w) grayscale) -> progressive (SOF2)
+    JFIF bytes, Annex K quantization, T.81 Annex G scan encoding.
+    ``sampling`` as in encode_jpeg ((2, 2) = 4:2:0 etc.).
+
+    The default scan script transmits every coefficient bit down to
+    Al = 0, so the decoded image is IDENTICAL to decoding the baseline
+    encoding of the same image at the same quality and sampling (same
+    quantized coefficients) — the round-trip equality the tests pin.
+    AC scans are non-interleaved over each component's own ceil(dim/8)
+    block grid and use cross-block EOB-run compression (EOBn symbols +
+    buffered correction bits, T.81 G.1.2.2-3) over the flat _AC_PROG
+    table; DC scans interleave components MCU-wise with the Annex K DC
+    tables. No restart markers are written."""
+    (
+        zzb,
+        qtabs,
+        ncomp,
+        h,
+        w,
+        factors,
+        mcus_y,
+        mcus_x,
+        nonint_dims,
+    ) = _prep_quantized(img, quality, sampling)
+    if scans is None:
+        scans = (
+            _DEFAULT_PROG_SCANS_3 if ncomp == 3 else _DEFAULT_PROG_SCANS_1
+        )
+    dc_codes = [_encode_codes(*_DC_LUMA), _encode_codes(*_DC_CHROMA)]
+    ac_codes = _encode_codes(*_AC_PROG)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti)
+        out += bytes(int(v) for v in q[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        h_c, v_c = factors[ci]
+        out += bytes([ci + 1, (h_c << 4) | v_c, 0 if ci == 0 else 1])
+    for th in range(2 if ncomp == 3 else 1):
+        bits, vals = (_DC_LUMA, _DC_CHROMA)[th]
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), th)
+        out += bytes(bits) + bytes(vals)
+    bits, vals = _AC_PROG
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), 0x10)
+    out += bytes(bits) + bytes(vals)
+
+    for kind, comp_idx, ss, se, ah, al in scans:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idx),
+                                         len(comp_idx))
+        for ci in comp_idx:
+            td = 0 if ci == 0 else 1
+            out += bytes([ci + 1, td << 4])  # Ta = 0: the _AC_PROG table
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        if kind == "dc":
+            if len(comp_idx) > 1:
+                # interleaved: MCU order, v_c x h_c blocks per component
+                units = [
+                    (ci, byy, bxx)
+                    for ci in comp_idx
+                    for byy in range(factors[ci][1])
+                    for bxx in range(factors[ci][0])
+                ]
+                if ah == 0:
+                    pred = {ci: 0 for ci in comp_idx}
+                for m_y in range(mcus_y):
+                    for m_x in range(mcus_x):
+                        for ci, byy, bxx in units:
+                            h_c, v_c = factors[ci]
+                            dc0 = int(
+                                zzb[ci][m_y * v_c + byy, m_x * h_c + bxx, 0]
+                            )
+                            if ah == 0:
+                                _emit_dc_first(
+                                    bw,
+                                    dc_codes[0 if ci == 0 else 1],
+                                    dc0,
+                                    al,
+                                    pred,
+                                    ci,
+                                )
+                            else:
+                                bw.write((dc0 >> al) & 1, 1)
+            else:
+                (ci,) = comp_idx
+                by_n, bx_n = nonint_dims[ci]
+                if ah == 0:
+                    pred = {ci: 0}
+                for m_y in range(by_n):
+                    for m_x in range(bx_n):
+                        dc0 = int(zzb[ci][m_y, m_x, 0])
+                        if ah == 0:
+                            _emit_dc_first(
+                                bw,
+                                dc_codes[0 if ci == 0 else 1],
+                                dc0,
+                                al,
+                                pred,
+                                ci,
+                            )
+                        else:
+                            bw.write((dc0 >> al) & 1, 1)
+        else:
+            (ci,) = comp_idx
+            by_n, bx_n = nonint_dims[ci]
+            st = {"run": 0, "pending": []}
+            for m_y in range(by_n):
+                for m_x in range(bx_n):
+                    blk = zzb[ci][m_y, m_x]
+                    if ah == 0:
+                        _emit_ac_first(bw, ac_codes, blk, ss, se, al, st)
+                    else:
+                        _emit_ac_refine(bw, ac_codes, blk, ss, se, al, st)
+            _flush_eobrun(bw, ac_codes, st)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_dc_first(bw, codes, dc0, al, pred, ci):
+    """DC first-scan value: point transform (arithmetic shift right by
+    Al), DPCM against the per-component predictor, category + extend."""
+    dc = dc0 >> al
+    diff = dc - pred[ci]
+    pred[ci] = dc
+    s = _category(diff)
+    code, ln = codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_ac_first(bw, codes, blk, ss, se, al, st):
+    """One block of an Ah=0 AC scan (point transform = magnitude shift
+    with sign preserved; T.81 G.1.2.2 with cross-block EOB runs: a
+    block whose band ends in zeros joins st['run'] instead of emitting
+    its own EOB — the run is flushed by the next block that emits a
+    symbol, or at scan end)."""
+    run = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        v = (v >> al) if v >= 0 else -((-v) >> al)
+        if v == 0:
+            run += 1
+            continue
+        if not wrote:
+            _flush_eobrun(bw, codes, st)
+            wrote = True
+        while run > 15:
+            code, ln = codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        st["run"] += 1
+        if st["run"] == 32767:  # EOBn ceiling (r = 14 + 14 bits)
+            _flush_eobrun(bw, codes, st)
+
+
+def _emit_ac_refine(bw, codes, blk, ss, se, al, st):
+    """One block of an Ah=Al+1 AC refinement scan (T.81 G.1.2.3):
+    newly-significant coefficients code (run-of-zero-history, 1) + a
+    sign bit; already-nonzero coefficients contribute one correction
+    bit wherever the scan passes them. A block with no newly-significant
+    coefficient joins the EOB run, buffering its correction bits until
+    the run flushes (the decoder reads them for every run member). ZRL
+    is emitted eagerly at every 16th zero-history zero (before the last
+    significant coefficient) so pending correction bits attach to
+    exactly the span the decoder walks for that symbol."""
+    sig = [
+        k
+        for k in range(ss, se + 1)
+        if abs(int(blk[k])) >> (al + 1) == 0
+        and abs(int(blk[k])) >> al == 1
+    ]
+    if not sig:
+        # pure EOB-run member: one buffered correction bit per
+        # nonzero-history coefficient, in k order
+        st["run"] += 1
+        for k in range(ss, se + 1):
+            av = abs(int(blk[k]))
+            if av >> (al + 1):
+                st["pending"].append((av >> al) & 1)
+        if st["run"] == 32767:
+            _flush_eobrun(bw, codes, st)
+        return
+    _flush_eobrun(bw, codes, st)
+    run = 0
+    corr: list[int] = []
+    last_sig = sig[-1]
+    for k in range(ss, se + 1):
+        av = abs(int(blk[k]))
+        t = av >> al
+        th = av >> (al + 1)
+        if th:
+            corr.append(t & 1)
+            continue
+        if t == 0:
+            run += 1
+            if run == 16 and k < last_sig:
+                code, ln = codes[0xF0]
+                bw.write(code, ln)
+                for b in corr:
+                    bw.write(b, 1)
+                corr = []
+                run = 0
+            continue
+        # newly significant (t is 1 by construction when th == 0)
+        code, ln = codes[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if int(blk[k]) > 0 else 0, 1)
+        for b in corr:
+            bw.write(b, 1)
+        corr = []
+        run = 0
+    if run or corr:
+        # trailing zeros / corrections: this block starts a new EOB run
+        st["run"] += 1
+        st["pending"].extend(corr)
 
 
 # ---------------------------------------------------------------- MJPEG

@@ -5,16 +5,18 @@ No reference counterpart; first-class training-data-pipeline components.
 Decode support is split by dependency footprint:
 
 - ``decoder="real"``: genuinely decodes the zero-dependency formats —
-  baseline JFIF JPEG (``functions/jpeg.py``, r4: huffman + dequant +
-  IDCT + YCbCr, validated on real libjpeg files), 8-bit PNG (zlib + the
-  five scanline filters), PPM (P6) and 24-bit BMP images, PCM WAV audio
-  — via ``functions/codecs.py`` (numpy + stdlib only): real luma
-  features, real area-downsampled 8×8 image embeddings, real
-  RMS/zero-crossing audio features, real nearest-neighbor resize.
-  Formats that still require external codec libraries (progressive
-  JPEG, MP4 video — PIL/turbojpeg/pyav are not in this container) raise
-  NotImplementedError at the per-row dispatch, the explicit production
-  integration point.
+  JFIF JPEG, both baseline AND progressive/SOF2 (``functions/jpeg.py``,
+  r4 huffman + dequant + IDCT + YCbCr validated on real libjpeg files;
+  r5 adds Annex G spectral selection + successive approximation with
+  EOB runs, pinned by exact-equality round-trips and a committed 4:2:0
+  progressive fixture), 8-bit PNG (zlib + the five scanline filters),
+  PPM (P6) and 24-bit BMP images, PCM WAV audio — via
+  ``functions/codecs.py`` (numpy + stdlib only): real luma features,
+  real area-downsampled 8×8 image embeddings, real RMS/zero-crossing
+  audio features, real nearest-neighbor resize. Formats that still
+  require external codec libraries (MP4/AVC video — PIL/turbojpeg/pyav
+  are not in this container) raise NotImplementedError at the per-row
+  dispatch, the explicit production integration point.
 - ``decoder="fake"``: a deterministic stand-in deriving "pixels" from the
   raw bytes — for plumbing tests on arbitrary payloads.
 

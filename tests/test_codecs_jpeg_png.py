@@ -125,15 +125,172 @@ def test_jpeg_decodes_real_libjpeg_files(path):
         assert out.shape == (2, 2, 3)
 
 
-def test_jpeg_rejects_progressive_and_garbage():
+def test_jpeg_rejects_unsupported_sof_and_garbage():
     img = _pattern(16, 16)
     enc = bytearray(encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless sequential)
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
+
+
+# ------------------------------------------------------------ progressive
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """The default progressive scan script transmits every coefficient
+    bit down to Al = 0, so decoding the progressive encoding must give
+    EXACTLY the pixels of decoding the baseline encoding at the same
+    quality/sampling (identical quantized coefficients) — across
+    qualities, all four sampling factors, and non-MCU-multiple dims.
+    This exercises spectral selection, both successive-approximation
+    refinement kinds (DC bit scans, AC correction bits), interleaved
+    and non-interleaved grids, and cross-block EOB runs."""
+    from parallel_pagerank_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for dims in ((48, 64), (33, 47), (17, 23)):
+        img = _pattern(*dims)
+        for samp in ((1, 1), (2, 1), (1, 2), (2, 2)):
+            for q in (85, 60):
+                b = decode_jpeg(encode_jpeg(img, quality=q, sampling=samp))
+                p = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=q, sampling=samp)
+                )
+                assert (b == p).all(), (dims, samp, q)
+    # grayscale single-component script
+    g = _pattern(24, 40)[:, :, 1]
+    bg = decode_jpeg(encode_jpeg(g, quality=80))
+    pg = decode_jpeg(encode_jpeg_progressive(g, quality=80))
+    assert (bg == pg).all()
+
+
+def test_jpeg_progressive_eob_runs_and_sparse():
+    """A nearly-empty image forces long cross-block EOB runs (EOBn with
+    n >> 1 + buffered refinement correction bits) — the dominant symbol
+    class in real libjpeg progressive files."""
+    from parallel_pagerank_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    sp = np.zeros((128, 160, 3), np.uint8)
+    sp[64, 80] = [200, 10, 10]
+    sp[10, 10] = [0, 255, 0]
+    b = decode_jpeg(encode_jpeg(sp, quality=75))
+    p = decode_jpeg(encode_jpeg_progressive(sp, quality=75))
+    assert (b == p).all()
+
+
+def test_jpeg_progressive_committed_fixture_matches_golden():
+    """Committed progressive (SOF2, 4:2:0) fixture decodes EXACTLY to
+    the committed golden array — pins the progressive decoder
+    byte-for-byte across rounds, including the non-interleaved
+    subsampled AC grid and interleaved DC scans."""
+    from parallel_pagerank_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    enc = open(
+        os.path.join(FIXTURES, "pattern_q88_prog420.jpg"), "rb"
+    ).read()
+    golden = np.load(
+        os.path.join(FIXTURES, "pattern_q88_prog420_golden.npy")
+    )
+    # really progressive: SOF2 marker present, SOF0/1 absent
+    assert b"\xff\xc2" in enc[:200]
+    dec = decode_jpeg(enc)
+    assert dec.shape == golden.shape
+    assert (dec == golden).all()
+    # the golden is a faithful decode of the generating pattern
+    err = np.abs(golden.astype(int) - _pattern().astype(int))
+    assert err.mean() < 9.0  # 4:2:0 chroma loss on a chroma-busy pattern
+    # and the fixture is reproducible from the encoder today
+    assert (
+        encode_jpeg_progressive(_pattern(), quality=88, sampling=(2, 2))
+        == enc
+    )
+
+
+def test_jpeg_fuzz_truncation_and_bitflips_bounded():
+    """Corrupt streams must raise (or decode to SOME image) quickly —
+    never hang or loop unboundedly: a malformed 100 TB corpus must not
+    stall a task. Truncations at every granularity and deterministic
+    bit flips across the whole stream."""
+    import time
+
+    from parallel_pagerank_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = _pattern(24, 32)
+    streams = [
+        encode_jpeg(img, quality=70),
+        encode_jpeg_progressive(img, quality=70, sampling=(2, 2)),
+    ]
+    allowed = (ValueError, NotImplementedError, IndexError, KeyError)
+    t0 = time.time()
+    for enc in streams:
+        for cut in range(2, len(enc), 97):
+            try:
+                out = decode_jpeg(enc[:cut])
+                assert isinstance(out, np.ndarray)
+            except allowed:
+                pass
+        rng = np.random.default_rng(42)
+        buf = np.frombuffer(enc, np.uint8).copy()
+        for _ in range(60):
+            pos = int(rng.integers(2, len(buf)))
+            bit = int(rng.integers(8))
+            flipped = buf.copy()
+            flipped[pos] ^= 1 << bit
+            try:
+                out = decode_jpeg(flipped.tobytes())
+                assert isinstance(out, np.ndarray)
+            except allowed:
+                pass
+    assert time.time() - t0 < 60.0
+
+
+def test_jpeg_roundtrip_hypothesis_images():
+    """Property test: random images round-trip within quantization
+    error at several (quality, sampling) points, and progressive decode
+    always equals baseline decode."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as hst
+    from hypothesis.extra import numpy as hnp
+
+    from parallel_pagerank_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        img=hnp.arrays(
+            np.uint8,
+            hst.tuples(
+                hst.integers(9, 40), hst.integers(9, 40), hst.just(3)
+            ),
+        ),
+        q=hst.sampled_from([50, 85, 95]),
+        samp=hst.sampled_from([(1, 1), (2, 2)]),
+    )
+    def check(img, q, samp):
+        b = decode_jpeg(encode_jpeg(img, quality=q, sampling=samp))
+        assert b.shape == img.shape and b.dtype == np.uint8
+        p = decode_jpeg(
+            encode_jpeg_progressive(img, quality=q, sampling=samp)
+        )
+        assert (b == p).all()
+
+    check()
 
 
 def test_png_roundtrip_write_png_exact(tmp_path):
