@@ -2219,19 +2219,23 @@ def _q_lm_score(spark, sf_dir):
 
 def _q_media_features(spark, sf_dir):
     """Multimodal decode → feature pipeline through the REAL codecs
-    (functions/jpeg.py + functions/codecs.py, r4): a deterministic media
-    table (PPM/BMP images, PCM WAV audio, MJPEG video — all genuinely
-    encoded bytes) is decoded back via mapInPandas and reduced to one
-    row per medium: images → true BT.601 mean luma, audio → RMS, video
-    → sampled-frame pixel hashes. No SQL oracle (binary codecs are not
-    SQL-expressible — rows-only by design); determinism is pinned by
-    tests/test_codecs_jpeg_png.py + test_functions.py golden/roundtrip
-    suites, and the committed JPEG fixture hash-pins the decoder."""
+    (functions/jpeg.py + functions/mp4.py + functions/codecs.py): a
+    deterministic media table (PPM/BMP images, PCM WAV audio, raw-MJPEG
+    AND MP4-contained video — all genuinely encoded bytes) is decoded
+    back via mapInPandas and reduced to one row per medium: images →
+    true BT.601 mean luma, audio → RMS, video → sampled-frame pixel
+    hashes PLUS (r5) a video_meta row per video from the metadata-only
+    container parse (ISO BMFF sample tables / MJPEG marker walk — no
+    pixel decode). No SQL oracle (binary codecs are not SQL-expressible
+    — rows-only by design); determinism is pinned by
+    tests/test_codecs_jpeg_png.py + tests/test_mp4.py golden/roundtrip
+    suites, and the committed JPEG/MP4 fixtures hash-pin the decoders."""
     from parallel_pagerank_spark.functions.multimodal import (
         audio_features,
         image_features,
         sample_frames,
         synthetic_media,
+        video_features,
     )
 
     media = synthetic_media(spark, n_rows=24, real_payloads=True)
@@ -2261,7 +2265,18 @@ def _q_media_features(spark, sf_dir):
             ),
         )
     )
-    return img.unionByName(aud).unionByName(vid)
+    # r5: metadata-only container parse — value encodes the curation
+    # tuple (frames, width, height) without decoding any pixels
+    vmeta = video_features(media).select(
+        "media_id",
+        F.lit("video_meta").alias("kind"),
+        (
+            F.col("n_frames").cast("double") * 1_000_000
+            + F.col("width").cast("double") * 1_000
+            + F.col("height").cast("double")
+        ).alias("value"),
+    )
+    return img.unionByName(aud).unionByName(vid).unionByName(vmeta)
 
 
 def _q_funnel(spark, sf_dir):

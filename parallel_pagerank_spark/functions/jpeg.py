@@ -1205,6 +1205,34 @@ def _emit_ac_refine(bw, codes, blk, ss, se, al, st):
         st["pending"].extend(corr)
 
 
+def jpeg_dimensions(content: bytes) -> tuple[int, int]:
+    """(height, width) from the SOF header — a marker walk only, no
+    entropy decode (the metadata-tier read a curation pass does before
+    deciding whether to pay for pixels)."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    n = len(content)
+    while i < n - 1:
+        if content[i] != 0xFF:
+            i += 1
+            continue
+        marker = content[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", content, i + 2)[0]
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            h = struct.unpack_from(">H", content, i + 5)[0]
+            w = struct.unpack_from(">H", content, i + 7)[0]
+            return h, w
+        i += 2 + seg_len
+    raise ValueError("JPEG has no SOF header")
+
+
 # ---------------------------------------------------------------- MJPEG
 #
 # Motion-JPEG in its rawest public form: a video stream is the

@@ -77,7 +77,8 @@ def synthetic_media(
     for i in range(n_rows):
         kind = ["image", "audio", "video"][i % 3]
         if real_payloads and kind == "video":
-            from .jpeg import encode_mjpeg
+            from .jpeg import encode_jpeg, encode_mjpeg
+            from .mp4 import encode_mp4_mjpeg
 
             n_frames = int(rng.integers(3, 9))
             h = int(rng.integers(8, 17))
@@ -86,8 +87,20 @@ def synthetic_media(
                 rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
                 for _ in range(n_frames)
             ]
-            payload = encode_mjpeg(frames, quality=85)
-            meta = (w, h, None, n_frames, "mjpeg")
+            if (i // 3) % 2 == 0:
+                payload = encode_mjpeg(frames, quality=85)
+                meta = (w, h, None, n_frames, "mjpeg")
+            else:
+                # r5: alternate rows carry a genuine MP4 container
+                # (Motion-JPEG-in-MP4) so the ISO BMFF parse + sample
+                # extraction path is exercised end-to-end
+                payload = encode_mp4_mjpeg(
+                    [encode_jpeg(f, quality=85) for f in frames],
+                    w,
+                    h,
+                    fps=6,
+                )
+                meta = (w, h, None, n_frames, "mp4")
         elif real_payloads and kind == "image":
             h = int(rng.integers(8, 33))
             w = int(rng.integers(8, 33))
@@ -293,20 +306,31 @@ def sample_frames(
     """Frame-sample videos: one row per sampled frame with a stable frame
     hash.
 
-    decoder="real" (r4): MJPEG payloads (concatenated baseline JPEGs —
-    the raw public Motion-JPEG stream format) are GENUINELY frame-split
-    and decoded: frame boundaries come from a marker-aware segment walk
-    (no entropy decode), so only every Nth frame pays the JPEG decode;
-    frame_hash is a deterministic hash of the decoded RGB pixels.
-    Containerized video (MP4/H.264) still requires pyav/ffmpeg and
-    raises at the per-row dispatch. decoder="fake" keeps the plumbing
-    stand-in for arbitrary payloads."""
+    decoder="real": MJPEG payloads (concatenated JPEGs — the raw public
+    Motion-JPEG stream format, r4) are GENUINELY frame-split and
+    decoded: frame boundaries come from a marker-aware segment walk (no
+    entropy decode); MP4 containers (r5, functions/mp4.py) are parsed
+    via the ISO BMFF sample tables and, when the video track codec is
+    'jpeg'/'mjpa' (Motion-JPEG-in-MP4), the sampled samples' byte
+    ranges are extracted and decoded. Either way only every Nth frame
+    pays the JPEG decode; frame_hash is a deterministic hash of the
+    decoded RGB pixels. MP4 with AVC/HEVC tracks still requires
+    pyav/ffmpeg and raises at the per-row dispatch. decoder="fake"
+    keeps the plumbing stand-in for arbitrary payloads."""
     if decoder == "real":
-        from .jpeg import decode_mjpeg_frames
+        from .jpeg import decode_jpeg, decode_mjpeg_frames
+        from .mp4 import extract_video_samples, is_mp4, mp4_info
 
         def run_real(
             batches: Iterator[pd.DataFrame],
         ) -> Iterator[pd.DataFrame]:
+            def _hash(rgb) -> int:
+                return int(
+                    pd.util.hash_array(rgb.reshape(-1).astype(np.int64))
+                    .sum()
+                    .astype(np.int64)
+                )
+
             for pdf in batches:
                 vids = pdf[pdf["kind"] == "video"]
                 vids = vids[vids["content"].notna()]
@@ -317,29 +341,51 @@ def sample_frames(
                     vids["media_id"], vids["content"]
                 ):
                     content = bytes(content)
-                    if content[:2] != b"\xff\xd8":
-                        raise NotImplementedError(
-                            "real video decode supports MJPEG "
-                            "(concatenated baseline JPEGs); "
-                            "containerized video (MP4/H.264) requires "
-                            "pyav/ffmpeg (not in this container)"
-                        )
-                    from .jpeg import split_mjpeg
+                    if content[:2] == b"\xff\xd8":
+                        from .jpeg import split_mjpeg
 
-                    n_frames = len(split_mjpeg(content))
-                    idxs = list(range(0, n_frames, every_nth))
-                    for fi, rgb in decode_mjpeg_frames(content, idxs):
+                        n_frames = len(split_mjpeg(content))
+                        idxs = list(range(0, n_frames, every_nth))
+                        decoded = decode_mjpeg_frames(content, idxs)
+                    elif is_mp4(content):
+                        info = mp4_info(content)
+                        vtracks = [
+                            t
+                            for t in info["tracks"]
+                            if t["handler"] == "vide"
+                        ]
+                        if not vtracks or vtracks[0]["codec"] not in (
+                            "jpeg",
+                            "mjpa",
+                        ):
+                            codec = (
+                                vtracks[0]["codec"] if vtracks else "none"
+                            )
+                            raise NotImplementedError(
+                                f"MP4 video track codec {codec!r} needs "
+                                "an external decoder (pyav/ffmpeg, not "
+                                "in this container); zero-dependency "
+                                "decode covers Motion-JPEG-in-MP4"
+                            )
+                        n_frames = vtracks[0]["n_samples"]
+                        idxs = list(range(0, n_frames, every_nth))
+                        decoded = [
+                            (fi, decode_jpeg(raw))
+                            for fi, raw in extract_video_samples(
+                                content, idxs
+                            )
+                        ]
+                    else:
+                        raise NotImplementedError(
+                            "real video decode supports raw MJPEG "
+                            "streams and MP4 containers; other "
+                            "containers require pyav/ffmpeg (not in "
+                            "this container)"
+                        )
+                    for fi, rgb in decoded:
                         out["media_id"].append(int(mid))
                         out["frame_idx"].append(fi)
-                        out["frame_hash"].append(
-                            int(
-                                pd.util.hash_array(
-                                    rgb.reshape(-1).astype(np.int64)
-                                )
-                                .sum()
-                                .astype(np.int64)
-                            )
-                        )
+                        out["frame_hash"].append(_hash(rgb))
                 yield pd.DataFrame(
                     {
                         "media_id": pd.Series(
@@ -387,3 +433,94 @@ def sample_frames(
             )
 
     return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "media_id long, container string, codec string, width int, "
+    "height int, n_frames int, duration_sec double"
+)
+
+
+def video_features(df: DataFrame) -> DataFrame:
+    """Sample-metadata-ONLY video curation features — codec, resolution,
+    frame count, duration — without decoding a single frame:
+
+    - MP4 containers (functions/mp4.py): the moov sample tables answer
+      everything; per row the parse touches only the box headers, the
+      I/O shape that makes a metadata pass over a 100 TB video corpus
+      read a tiny fraction of the bytes (with parquet binary columns
+      the row must still be materialized — on a production lake these
+      parses run against object-store range reads).
+    - raw MJPEG streams: frame boundaries from the marker-aware segment
+      walk (no entropy decode), dimensions from the first frame's SOF
+      header, duration unknown (0.0 — MJPEG carries no timing).
+    - anything else raises at the per-row dispatch (the documented
+      external-codec integration point).
+    """
+    from .jpeg import jpeg_dimensions, split_mjpeg
+    from .mp4 import is_mp4, mp4_info
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["kind"] == "video"]
+            vids = vids[vids["content"].notna()]
+            if not len(vids):
+                continue
+            out = {
+                "media_id": [], "container": [], "codec": [],
+                "width": [], "height": [], "n_frames": [],
+                "duration_sec": [],
+            }
+            for mid, content in zip(vids["media_id"], vids["content"]):
+                content = bytes(content)
+                if content[:2] == b"\xff\xd8":
+                    ranges = split_mjpeg(content)
+                    h, w = jpeg_dimensions(
+                        content[ranges[0][0] : ranges[0][1]]
+                    )
+                    row = ("mjpeg", "jpeg", w, h, len(ranges), 0.0)
+                elif is_mp4(content):
+                    info = mp4_info(content)
+                    vt = [
+                        t for t in info["tracks"] if t["handler"] == "vide"
+                    ]
+                    if not vt:
+                        raise ValueError("MP4 has no video track")
+                    t = vt[0]
+                    row = (
+                        "mp4",
+                        t["codec"],
+                        t["width"],
+                        t["height"],
+                        t["n_samples"],
+                        t["duration_sec"],
+                    )
+                else:
+                    raise NotImplementedError(
+                        "video metadata supports raw MJPEG and MP4; "
+                        "other containers require external parsers"
+                    )
+                out["media_id"].append(int(mid))
+                for key, v in zip(
+                    (
+                        "container", "codec", "width", "height",
+                        "n_frames", "duration_sec",
+                    ),
+                    row,
+                ):
+                    out[key].append(v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "container": pd.Series(out["container"], dtype=object),
+                    "codec": pd.Series(out["codec"], dtype=object),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "duration_sec": pd.Series(
+                        out["duration_sec"], dtype="float64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, VIDEO_FEATURE_SCHEMA)

@@ -362,12 +362,19 @@ def test_multimodal_plumbing(spark):
 
 
 def test_sample_frames_real_mjpeg(spark):
-    """Real MJPEG frame sampling: synthetic video rows carry genuine
-    concatenated-JPEG streams; every_nth sampling decodes only those
-    frames and hashes the actual pixels (deterministic)."""
+    """Real video frame sampling: synthetic video rows carry genuine
+    containers — raw concatenated-JPEG MJPEG streams and (r5) MP4 with
+    a 'jpeg' track; every_nth sampling decodes only those frames and
+    hashes the actual pixels (deterministic)."""
     from parallel_pagerank_spark.functions.jpeg import (
+        decode_jpeg,
         decode_mjpeg_frames,
         split_mjpeg,
+    )
+    from parallel_pagerank_spark.functions.mp4 import (
+        extract_video_samples,
+        is_mp4,
+        mp4_info,
     )
     from parallel_pagerank_spark.functions.multimodal import (
         sample_frames,
@@ -384,22 +391,43 @@ def test_sample_frames_real_mjpeg(spark):
     got = {(r["media_id"], r["frame_idx"]): r["frame_hash"] for r in out}
     import pandas as _pd
 
+    def _h(rgb):
+        return int(
+            _pd.util.hash_array(rgb.reshape(-1).astype(np.int64))
+            .sum()
+            .astype(np.int64)
+        )
+
     want = {}
+    saw_mp4 = saw_mjpeg = False
     for mid, content in vids.items():
-        n = len(split_mjpeg(content))
-        for fi, rgb in decode_mjpeg_frames(content, list(range(0, n, 2))):
-            want[(mid, fi)] = int(
-                _pd.util.hash_array(rgb.reshape(-1).astype(np.int64))
-                .sum()
-                .astype(np.int64)
-            )
+        if content[:2] == b"\xff\xd8":
+            saw_mjpeg = True
+            n = len(split_mjpeg(content))
+            for fi, rgb in decode_mjpeg_frames(
+                content, list(range(0, n, 2))
+            ):
+                want[(mid, fi)] = _h(rgb)
+        else:
+            saw_mp4 = True
+            assert is_mp4(content)
+            n = mp4_info(content)["tracks"][0]["n_samples"]
+            for fi, raw in extract_video_samples(
+                content, list(range(0, n, 2))
+            ):
+                want[(mid, fi)] = _h(decode_jpeg(raw))
     assert got == want and len(got) > 0
-    # frame splitting found every frame meta promised
+    assert saw_mp4 and saw_mjpeg  # both container paths exercised
+    # container parse finds every frame the meta promised
     for r in media.collect():
         if r["kind"] == "video":
-            assert len(split_mjpeg(bytes(r["content"]))) == (
-                r["meta"]["n_frames"]
+            c = bytes(r["content"])
+            n = (
+                len(split_mjpeg(c))
+                if c[:2] == b"\xff\xd8"
+                else mp4_info(c)["tracks"][0]["n_samples"]
             )
+            assert n == r["meta"]["n_frames"]
 
 
 def test_sessionize(spark):
