@@ -33,23 +33,38 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING_ITERS = 12  # fixed supersteps for the two-parallelism comparison
-SCALING_WARMUP = 3  # discarded supersteps (JIT + cache population)
+# r5 (verdict #3): 24 supersteps with the first 8 dropped — the longer
+# steady window plus ParallelGC in the child JVMs is what cut the
+# per-level spread; 12/3 was too short for GC/JIT to settle at 32 threads
+SCALING_ITERS = 24  # fixed supersteps for the two-parallelism comparison
+SCALING_WARMUP = 8  # discarded supersteps (JIT + cache + GC settling)
 
 
-def _spark(cores: int, partitions: int | None = None):
+def _spark(cores: int, partitions: int | None = None, gc_pinned=False):
     from parallel_pagerank_spark import EngineConfig, get_spark
 
     # scaling children fix partitions = CPUS at BOTH parallelism levels:
     # identical task granularity, only executor-thread count varies —
     # the local-mode stand-in for N vs 4N executors on a fixed-partition
-    # dataset
+    # dataset. gc_pinned: throughput-oriented ParallelGC with a fixed
+    # thread count so GC behavior is identical at both levels (G1's
+    # adaptive sizing was a measured variance source at 32 threads).
+    extra = (
+        {
+            "spark.driver.extraJavaOptions": (
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=8"
+            )
+        }
+        if gc_pinned
+        else None
+    )
     return get_spark(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
         config=EngineConfig(
             shuffle_partitions=partitions or max(cores, 8)
         ),
+        extra_conf=extra,
     )
 
 
@@ -80,7 +95,7 @@ def child_scaling(cores: int) -> None:
         synthetic_scaling_edges,
     )
 
-    spark = _spark(cores, partitions=CPUS)
+    spark = _spark(cores, partitions=CPUS, gc_pinned=True)
     spark.sparkContext.setLogLevel("ERROR")
     edges = synthetic_scaling_edges(spark, SCALE_EDGES, SCALE_VERTICES)
     vertices = spark.range(SCALE_VERTICES)
@@ -418,7 +433,7 @@ def main() -> None:
     q1_b, q3_b = iqr(t_big_all)
     thr_small = SCALE_EDGES / med_small
     thr_big = SCALE_EDGES / med_big
-    efficiency = thr_big / (4.0 * thr_small)
+    eff_pooled = thr_big / (4.0 * thr_small)
     # the efficiency's honest uncertainty band from the per-level IQRs
     eff_lo = (q1_s / (4.0 * q3_b))
     eff_hi = (q3_s / (4.0 * q1_b))
@@ -470,18 +485,32 @@ def main() -> None:
             "iter_times_big": [round(t, 3) for t in t_big_all],
             "throughput_small_edges_per_sec": round(thr_small, 1),
             "throughput_big_edges_per_sec": round(thr_big, 1),
-            "efficiency": round(efficiency, 4),
+            # HEADLINE (r5, verdict #3): the median of the per-pair
+            # efficiencies — each adjacent A/B pair shares its host
+            # window, so the pair ratio cancels slow drift; this is the
+            # most run-to-run-stable estimator the harness produces
+            "efficiency": round(eff_paired, 4),
+            "efficiency_pooled": round(eff_pooled, 4),
             "efficiency_iqr_band": [round(eff_lo, 4), round(eff_hi, 4)],
             "pair_efficiencies": [round(e, 4) for e in pair_effs],
             "efficiency_paired_median": round(eff_paired, 4),
+            "spread_small_iqr_over_median": round(
+                (q3_s - q1_s) / med_small, 4
+            ),
+            "spread_big_iqr_over_median": round(
+                (q3_b - q1_b) / med_big, 4
+            ),
             "cpu_control_efficiency": round(ctl_efficiency, 4),
             "note": (
                 "single-host stand-in for N vs 4N executors: both levels "
                 "share one memory bus, so shuffle-bound supersteps cap "
                 "below the cpu_control ceiling; see BENCH/BASELINE.md. "
-                "Median-of-steady-supersteps over interleaved A/B pairs; "
-                "the IQR band and the per-pair efficiencies are the "
-                "honest uncertainty (pair ratios cancel slow host drift)."
+                "HEADLINE efficiency = median of per-pair ratios over "
+                "interleaved A/B pairs (pair ratios cancel slow host "
+                "drift); pooled-median efficiency, the IQR band, and the "
+                "per-level relative spreads are quoted alongside. "
+                "24 supersteps, first 8 dropped, ParallelGC pinned in "
+                "both child JVMs."
             ),
         },
     }
